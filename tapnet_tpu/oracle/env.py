@@ -190,6 +190,24 @@ class OracleEnv:
         S = Fraction(int(self.state.placements[placed, PLACE_STABLE].sum()), n_placed)
         return C, P, S
 
+    def reward_ints(self):
+        """Integer reward terms (vol, denom_c, denom_p, s_num, s_den) —
+        the exact quantities the JAX env's `reward_terms` must reproduce."""
+        cfg = self.cfg
+        placed = self.state.placements[:, PLACE_CONTAINER] >= 0
+        vol = int(sum(int(np.prod(self.inst.dims[b].astype(np.int64)))
+                      for b in np.nonzero(placed)[0]))
+        area = cfg.target_width * cfg.target_depth
+        denom_c = denom_p = 0
+        for c in range(cfg.num_containers):
+            hm = self.state.heightmap[c]
+            if hm.max() > 0:
+                denom_c += area * int(hm.max())
+                denom_p += int(hm.sum())
+        s_num = int(self.state.placements[placed, PLACE_STABLE].sum())
+        s_den = int(placed.sum())
+        return vol, denom_c, denom_p, s_num, s_den
+
     def reward(self) -> float:
         C, P, S = self.reward_fractions()
         terms = {"C": C, "P": P, "S": S}
