@@ -1,0 +1,119 @@
+"""Actor-critic REINFORCE: one fused, jittable train step.
+
+Reference semantics (SURVEY.md §3.1): loss_actor = -(R - V).detach * sum log pi,
+loss_critic = MSE(V, R), Adam, grad clip. TPU-first: the instance batch is
+sampled on device inside the step (no data loading), the rollout is a scan,
+and the whole sample->rollout->grad->update pipeline is one XLA program,
+ready to be pjit-sharded over a ('data',) mesh (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tapnet_tpu.config import TAPConfig
+from tapnet_tpu.env import core as E
+from tapnet_tpu.env.sampler import sample_instance
+from tapnet_tpu.models.features import build_tokens
+from tapnet_tpu.models.tapnet import TAPNetCritic, init_params
+from tapnet_tpu.train.rollout import policy_rollout
+
+
+class TrainState(NamedTuple):
+    params: Any          # {"actor": ..., "critic": ...}
+    opt_state: Any
+    step: jax.Array      # int32
+    key: jax.Array       # PRNG key (instance sampling + action sampling)
+
+
+def make_optimizer(lr: float = 5e-4, clip: float = 2.0):
+    return optax.chain(optax.clip_by_global_norm(clip), optax.adam(lr))
+
+
+def init_train_state(key, cfg: TAPConfig, hidden: int = 128,
+                     lr: float = 5e-4, clip: float = 2.0) -> TrainState:
+    kp, ks = jax.random.split(key)
+    params = init_params(kp, cfg, hidden)
+    opt = make_optimizer(lr, clip)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.int32(0), key=ks)
+
+
+def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
+                  temperature: float):
+    critic = TAPNetCritic(cfg, hidden)
+
+    def one(instance, key):
+        state, actions, R, logp = policy_rollout(
+            params["actor"], instance, key, cfg, hidden,
+            greedy=False, temperature=temperature)
+        s0 = E.reset(instance, cfg)
+        static, dynamic, hm = build_tokens(instance, s0, cfg)
+        V = critic.apply(params["critic"], static, dynamic, hm)
+        terms = E.reward_terms(state, instance, cfg)
+        return R, logp, V, terms
+
+    R, logp, V, terms = jax.vmap(one)(instances, keys)
+    adv = R - jax.lax.stop_gradient(V)
+    actor_loss = -(adv * logp).mean()
+    critic_loss = ((V - R) ** 2).mean()
+    return actor_loss, critic_loss, R, terms
+
+
+def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
+                    lr: float = 5e-4, clip: float = 2.0,
+                    temperature: float = 1.0, critic_weight: float = 1.0,
+                    mesh=None, axis: str = "data"):
+    """Build the jitted train step: TrainState -> (TrainState, metrics).
+
+    With `mesh`, the on-device-sampled instance batch and per-instance action
+    keys are sharded over the mesh's data axis (each device samples and rolls
+    its own shard; the only cross-device traffic is the gradient psum XLA
+    inserts). Pass a TrainState placed replicated on the mesh
+    (parallel.mesh.put_replicated).
+    """
+    opt = make_optimizer(lr, clip)
+
+    def loss_fn(params, instances, key_data):
+        keys = jax.vmap(jax.random.wrap_key_data)(key_data)
+        actor_loss, critic_loss, R, terms = _batch_losses(
+            params, instances, keys, cfg, hidden, temperature)
+        loss = actor_loss + critic_weight * critic_loss
+        return loss, (actor_loss, critic_loss, R, terms)
+
+    @jax.jit
+    def train_step(ts: TrainState):
+        key, k_inst, k_act = jax.random.split(ts.key, 3)
+        inst_keys = jax.random.split(k_inst, batch)
+        instances = jax.vmap(lambda k: sample_instance(k, cfg))(inst_keys)
+        act_keys = jax.random.key_data(jax.random.split(k_act, batch))
+        if mesh is not None:
+            from tapnet_tpu.parallel.mesh import shard_leading_axis, replicate
+            instances = shard_leading_axis(instances, mesh, axis)
+            act_keys = shard_leading_axis(act_keys, mesh, axis)
+            ts = ts._replace(params=replicate(ts.params, mesh))
+
+        grads, (actor_loss, critic_loss, R, terms) = jax.grad(
+            loss_fn, has_aux=True)(ts.params, instances, act_keys)
+        updates, opt_state = opt.update(grads, ts.opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+
+        vol, denom_c, denom_p, s_num, s_den = terms
+        f = lambda n, d: (n / jnp.maximum(d, 1)).astype(jnp.float32)
+        metrics = {
+            "loss_actor": actor_loss,
+            "loss_critic": critic_loss,
+            "reward": R.mean(),
+            "C": f(vol, denom_c).mean(),
+            "P": f(vol, denom_p).mean(),
+            "S": f(s_num, s_den).mean(),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, ts.step + 1, key), metrics
+
+    return train_step

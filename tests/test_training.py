@@ -1,0 +1,114 @@
+"""Model + REINFORCE training tests (SURVEY.md §4 rebuild obligations)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tapnet_tpu.config import CONFIGS
+from tapnet_tpu.models import build_tokens, init_params
+from tapnet_tpu.models.tapnet import TAPNetActor
+from tapnet_tpu.env import core as E
+from tapnet_tpu.env.sampler import sample_instance
+from tapnet_tpu.train.reinforce import init_train_state, make_train_step
+from tapnet_tpu.train.rollout import policy_rollout_batch
+from tapnet_tpu.train.trainer import TrainLoopConfig, evaluate
+from tapnet_tpu.train import checkpoints as ckpt
+
+
+def leaves_equal(a, b):
+    fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(fa, fb))
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_actor_forward_shapes(name):
+    cfg = CONFIGS[name]
+    params = init_params(jax.random.key(0), cfg, hidden=32)
+    inst = sample_instance(jax.random.key(1), cfg)
+    state = E.reset(inst, cfg)
+    static, dynamic, hm = build_tokens(inst, state, cfg)
+    logits = TAPNetActor(cfg, 32).apply(params["actor"], static, dynamic, hm)
+    assert logits.shape == (cfg.num_actions,)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_step_runs_and_is_deterministic():
+    cfg = CONFIGS["2d-rot"]
+    step = make_train_step(cfg, batch=16, hidden=32)
+    ts1 = init_train_state(jax.random.key(0), cfg, hidden=32)
+    ts2 = init_train_state(jax.random.key(0), cfg, hidden=32)
+    for _ in range(2):
+        ts1, m1 = step(ts1)
+        ts2, m2 = step(ts2)
+    for k in m1:
+        assert np.isfinite(float(m1[k])), k
+        assert float(m1[k]) == float(m2[k]), k
+    assert float(m1["grad_norm"]) > 0
+    assert leaves_equal(ts1.params, ts2.params)
+
+
+def test_checkpoint_resume_continues_exact_trajectory(tmp_path):
+    """Kill-and-resume mid-training == uninterrupted run (SURVEY.md §5)."""
+    cfg = CONFIGS["2d-basic"]
+    step = make_train_step(cfg, batch=8, hidden=32)
+    ts = init_train_state(jax.random.key(0), cfg, hidden=32)
+    ts, _ = step(ts)
+    path = ckpt.save_checkpoint(str(tmp_path), ts)
+
+    # uninterrupted
+    ts_a, m_a = step(ts)
+    # "crashed" and restored into a fresh template
+    template = init_train_state(jax.random.key(123), cfg, hidden=32)
+    ts_b = ckpt.restore_checkpoint(path, template)
+    assert leaves_equal(ts.params, ts_b.params)
+    ts_b, m_b = step(ts_b)
+    for k in m_a:
+        assert float(m_a[k]) == float(m_b[k]), k
+    assert leaves_equal(ts_a.params, ts_b.params)
+
+
+def test_greedy_eval_deterministic():
+    cfg = CONFIGS["3d-basic"]
+    params = init_params(jax.random.key(0), cfg, hidden=32)
+    loop = TrainLoopConfig(hidden=32, valid_batch=16)
+    a = float(evaluate(params, cfg, loop)["valid_reward"])
+    b = float(evaluate(params, cfg, loop)["valid_reward"])
+    assert a == b
+
+
+def test_rollout_actions_respect_masks():
+    cfg = CONFIGS["multi-container"]
+    params = init_params(jax.random.key(0), cfg, hidden=32)
+    B = 8
+    key = jax.random.key(5)
+    from tapnet_tpu.env.sampler import sample_batch
+    instances = sample_batch(key, B, cfg)
+    keys = jax.random.split(key, B)
+    states, actions, rewards, logp = policy_rollout_batch(
+        params["actor"], instances, keys, cfg, 32)
+    assert bool(states.packed.all())
+    assert np.isfinite(np.asarray(logp)).all()
+    # replay actions through the env, asserting each was mask-feasible
+    for i in range(B):
+        inst = jax.tree.map(lambda x: x[i], instances)
+        s = E.reset(inst, cfg)
+        for a in np.asarray(actions[i]):
+            if a < 0:
+                continue
+            assert bool(E.action_mask(s, inst, cfg)[int(a)])
+            s = E.step(s, jnp.int32(int(a)), inst, cfg)
+
+
+def test_learning_improves_reward():
+    """30 REINFORCE steps on 2d-basic must lift greedy validation reward."""
+    cfg = CONFIGS["2d-basic"]
+    loop = TrainLoopConfig(hidden=64, valid_batch=128)
+    ts = init_train_state(jax.random.key(0), cfg, hidden=64, lr=1e-3)
+    before = float(evaluate(ts.params, cfg, loop)["valid_reward"])
+    step = make_train_step(cfg, batch=64, hidden=64, lr=1e-3)
+    for _ in range(30):
+        ts, _ = step(ts)
+    after = float(evaluate(ts.params, cfg, loop)["valid_reward"])
+    assert after > before + 0.1, (before, after)
