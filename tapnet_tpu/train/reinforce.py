@@ -45,20 +45,34 @@ def init_train_state(key, cfg: TAPConfig, hidden: int = 128,
 
 
 def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
-                  temperature: float):
+                  temperature: float, use_pallas: bool):
     critic = TAPNetCritic(cfg, hidden)
 
     def one(instance, key):
-        state, actions, R, logp = policy_rollout(
+        state, actions, _, logp = policy_rollout(
             params["actor"], instance, key, cfg, hidden,
-            greedy=False, temperature=temperature)
+            greedy=False, temperature=temperature, with_reward=False)
         s0 = E.reset(instance, cfg)
         static, dynamic, hm = build_tokens(instance, s0, cfg)
         V = critic.apply(params["critic"], static, dynamic, hm)
-        terms = E.reward_terms(state, instance, cfg)
-        return R, logp, V, terms
+        return state, logp, V
 
-    R, logp, V, terms = jax.vmap(one)(instances, keys)
+    states, logp, V = jax.vmap(one)(instances, keys)
+    if use_pallas:
+        # terminal rewards for the whole batch in one fused Pallas pass
+        from tapnet_tpu.ops import batched_reward_terms
+        terms = batched_reward_terms(states.heightmap, states.placements,
+                                     instances.dims)
+    else:
+        # jnp composition — bit-identical (parity-tested), partitions
+        # transparently under mesh sharding
+        terms = jax.vmap(lambda s, i: E.reward_terms(s, i, cfg))(
+            states, instances)
+    vol, denom_c, denom_p, s_num, s_den = terms
+    f = lambda n, d: jnp.where(d > 0, n.astype(jnp.float32) /
+                               jnp.maximum(d, 1).astype(jnp.float32), 0.0)
+    tvals = {"C": f(vol, denom_c), "P": f(vol, denom_p), "S": f(s_num, s_den)}
+    R = sum(tvals[t] for t in cfg.reward_terms)
     adv = R - jax.lax.stop_gradient(V)
     actor_loss = -(adv * logp).mean()
     critic_loss = ((V - R) ** 2).mean()
@@ -68,7 +82,7 @@ def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
 def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
                     lr: float = 5e-4, clip: float = 2.0,
                     temperature: float = 1.0, critic_weight: float = 1.0,
-                    mesh=None, axis: str = "data"):
+                    mesh=None, axis: str = "data", use_pallas=None):
     """Build the jitted train step: TrainState -> (TrainState, metrics).
 
     With `mesh`, the on-device-sampled instance batch and per-instance action
@@ -78,11 +92,13 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
     (parallel.mesh.put_replicated).
     """
     opt = make_optimizer(lr, clip)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and mesh is None
 
     def loss_fn(params, instances, key_data):
         keys = jax.vmap(jax.random.wrap_key_data)(key_data)
         actor_loss, critic_loss, R, terms = _batch_losses(
-            params, instances, keys, cfg, hidden, temperature)
+            params, instances, keys, cfg, hidden, temperature, use_pallas)
         loss = actor_loss + critic_weight * critic_loss
         return loss, (actor_loss, critic_loss, R, terms)
 

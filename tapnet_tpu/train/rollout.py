@@ -25,11 +25,13 @@ NEG = jnp.float32(-1e9)
 
 def policy_rollout(actor_params, instance: Instance, key, cfg: TAPConfig,
                    hidden: int = 128, greedy: bool = False,
-                   temperature: float = 1.0):
+                   temperature: float = 1.0, with_reward: bool = True):
     """Roll one instance with the actor; returns (state, actions, R, logp_sum).
 
     Sampling is Gumbel-argmax over masked logits (identical in law to
     categorical sampling); logp_sum is differentiable w.r.t. actor params.
+    With with_reward=False, R is 0.0 and the caller computes rewards batched
+    (e.g. via the fused Pallas kernel in tapnet_tpu.ops).
     """
     actor = TAPNetActor(cfg, hidden)
     state0 = E.reset(instance, cfg)
@@ -56,7 +58,8 @@ def policy_rollout(actor_params, instance: Instance, key, cfg: TAPConfig,
     (state, logp_sum), actions = jax.lax.scan(
         body, (state0, jnp.float32(0.0)),
         jnp.arange(cfg.num_blocks, dtype=jnp.int32))
-    return state, actions, E.reward(state, instance, cfg), logp_sum
+    R = E.reward(state, instance, cfg) if with_reward else jnp.float32(0.0)
+    return state, actions, R, logp_sum
 
 
 @functools.partial(jax.jit,
