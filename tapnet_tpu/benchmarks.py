@@ -1,0 +1,57 @@
+"""Throughput measurement utilities (BASELINE.json metric machinery).
+
+Used by the repo-root bench.py (driver entry) and `python -m tapnet_tpu.cli
+bench`. The baseline measurement reproduces the reference's own mechanism —
+the per-instance Python step loop — live on this host (BASELINE.md: the
+empty reference mount has no published numbers).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+
+def measure_oracle_steps_per_s(cfg, n_instances: int = 8) -> float:
+    """Reference mechanism: per-instance Python loop (steps/s, one process).
+
+    Eager RNG ops are pinned to host CPU so TPU-tunnel latency doesn't
+    unfairly inflate the speedup reported against this baseline.
+    """
+    from tapnet_tpu.oracle import generate_instance, oracle_rollout
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        key = jax.random.key(0)
+        keys = jax.random.split(key, n_instances)
+        instances = [generate_instance(k, cfg) for k in keys]
+        t0 = time.perf_counter()
+        steps = 0
+        for inst, k in zip(instances, keys):
+            _, actions, _ = oracle_rollout(inst, cfg, policy="random", key=k)
+            steps += int((np.asarray(actions) >= 0).sum())
+        return steps / (time.perf_counter() - t0)
+
+
+def measure_env_steps_per_s(cfg, batch: int, iters: int = 10) -> float:
+    """Batched jitted rollouts on the default backend (TPU when present)."""
+    from tapnet_tpu.env import core as E
+    from tapnet_tpu.env import sample_batch
+
+    key = jax.random.key(0)
+    batch_inst = sample_batch(key, batch, cfg)
+    keys = jax.random.split(key, batch)
+    jax.block_until_ready(batch_inst)
+
+    out = E.rollout_batch(batch_inst, keys, cfg, policy="random")  # compile
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        keys = jax.random.split(jax.random.key(i + 1), batch)
+        out = E.rollout_batch(batch_inst, keys, cfg, policy="random")
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    steps_per_rollout = int(np.asarray(batch_inst.n_total).sum())
+    return steps_per_rollout * iters / dt

@@ -50,8 +50,8 @@ def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig):
     return {"valid_reward": rewards.mean()}
 
 
-def train(cfg: TAPConfig, loop: TrainLoopConfig,
-          resume: bool = True) -> TrainState:
+def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
+          mesh=None) -> TrainState:
     logger = MetricsLogger(loop.metrics_path)
     ts = init_train_state(jax.random.key(loop.seed), cfg, loop.hidden,
                           loop.lr, loop.clip)
@@ -60,9 +60,12 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig,
         if path:
             ts = ckpt.restore_checkpoint(path, ts)
             logger.log(int(ts.step), {}, event="resumed", ckpt=path)
+    if mesh is not None:
+        from tapnet_tpu.parallel.mesh import put_replicated
+        ts = put_replicated(ts, mesh)
 
     train_step = make_train_step(cfg, loop.batch, loop.hidden, loop.lr,
-                                 loop.clip, loop.temperature)
+                                 loop.clip, loop.temperature, mesh=mesh)
     total = loop.epochs * loop.steps_per_epoch
     while int(ts.step) < total:
         epoch = int(ts.step) // loop.steps_per_epoch

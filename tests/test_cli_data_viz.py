@@ -1,0 +1,78 @@
+"""CLI, dataset files, and visualization (SURVEY.md §2.1 CLI / dataset /
+visualization rows)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from tapnet_tpu.cli import main as cli_main
+from tapnet_tpu.config import CONFIGS
+from tapnet_tpu.env.sampler import sample_batch
+from tapnet_tpu.utils.data import (PackDataset, generate_dataset,
+                                   load_config, load_instances,
+                                   save_instances)
+
+
+def test_dataset_roundtrip(tmp_path):
+    cfg = CONFIGS["2d-rot"]
+    batch = sample_batch(jax.random.key(0), 16, cfg)
+    path = str(tmp_path / "ds.npz")
+    save_instances(path, batch, cfg)
+    loaded = load_instances(path)
+    for f in batch._fields:
+        assert np.array_equal(np.asarray(getattr(batch, f)),
+                              getattr(loaded, f)), f
+    assert load_config(path) == cfg
+
+
+def test_pack_dataset_iterates(tmp_path):
+    cfg = CONFIGS["2d-basic"]
+    path = generate_dataset(str(tmp_path / "ds.npz"), cfg, num=20, seed=1,
+                            batch_size=8)
+    ds = PackDataset(path, batch_size=8, shuffle_seed=0)
+    batches = list(ds)
+    assert len(ds) == 2 and len(batches) == 2
+    assert batches[0].dims.shape == (8, cfg.num_blocks, 3)
+
+
+@pytest.mark.parametrize("name", ["2d-rot", "3d-basic"])
+def test_render_writes_png(tmp_path, name):
+    from tapnet_tpu.env import core as E
+    from tapnet_tpu.env.sampler import sample_instance
+    from tapnet_tpu.utils.viz import render
+    cfg = CONFIGS[name]
+    key = jax.random.key(0)
+    inst = sample_instance(key, cfg)
+    state, actions, reward = E.rollout(inst, key, cfg, policy="first")
+    out = render(inst, state, cfg, str(tmp_path / "out.png"))
+    assert os.path.getsize(out) > 1000
+
+
+def test_cli_generate_and_eval_paths(tmp_path, capsys):
+    rc = cli_main(["generate", "--config", "2d-basic", "--num", "8",
+                   "--out", str(tmp_path / "d.npz")])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(rec["path"])
+
+    rc = cli_main(["eval", "--config", "2d-basic",
+                   "--ckpt-dir", str(tmp_path / "none")])
+    assert rc == 1  # clean failure on missing checkpoint
+
+
+def test_cli_flag_config_construction():
+    from tapnet_tpu.cli import build_config
+    import argparse
+    ns = argparse.Namespace(
+        config=None, obj_dim=3, num_blocks=12, min_blocks=0,
+        container_width=6, container_depth=6, container_height=6,
+        target_width=0, target_depth=0, target_height=0, num_containers=2,
+        allow_rot=True, window=0, reward_type="C+P-lb-hard")
+    cfg = build_config(ns)
+    assert cfg.dim == 3 and cfg.num_containers == 2
+    assert cfg.reward_terms == ("C", "P")
+    assert cfg.placement_variant == "hard"
+    assert cfg.min_blocks == 12
