@@ -112,23 +112,35 @@ def action_mask(state: EnvState, instance: Instance, cfg: TAPConfig) -> jax.Arra
 # --------------------------------------------------------------------- #
 # candidate scan (SPEC.md §6) — all offsets scored in parallel
 
+def _shift_stack_x(a: jax.Array, W: int, fill) -> jax.Array:
+    """S[o, x, y] = a[x + o, y] (fill beyond the edge), o in [0, W)."""
+    pad = jnp.concatenate([a, jnp.full_like(a, fill)], axis=0)
+    return jnp.stack([pad[o:o + W, :] for o in range(W)], axis=0)
+
+
+def _shift_stack_y(a: jax.Array, D: int, fill) -> jax.Array:
+    pad = jnp.concatenate([a, jnp.full_like(a, fill)], axis=1)
+    return jnp.stack([pad[:, o:o + D] for o in range(D)], axis=0)
+
+
 def _window_max_x(a: jax.Array, w: jax.Array, W: int) -> jax.Array:
-    """out[x, :] = max(a[x : x+w, :]) with zero padding; w traced, W static."""
-    pad = jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
-    acc = a
-    for o in range(1, W):
-        acc = jnp.where(o < w, jnp.maximum(acc, pad[o:o + W, :]), acc)
-    return acc
+    """out[x, :] = max(a[x : x+w, :]) with zero padding; w traced, W static.
+
+    One stacked masked reduction (log-depth) instead of a W-long dependent
+    accumulate chain — tiny grids are kernel-latency-bound on TPU, so
+    shortening the sequential op chain is what buys throughput.
+    """
+    S = _shift_stack_x(a, W, 0)
+    o = jnp.arange(W, dtype=jnp.int32)[:, None, None]
+    return jnp.max(jnp.where(o < w, S, 0), axis=0)
 
 
 def _window_max_y(a: jax.Array, d: jax.Array, D: int) -> jax.Array:
     if D == 1:
         return a
-    pad = jnp.concatenate([a, jnp.zeros_like(a)], axis=1)
-    acc = a
-    for o in range(1, D):
-        acc = jnp.where(o < d, jnp.maximum(acc, pad[:, o:o + D]), acc)
-    return acc
+    S = _shift_stack_y(a, D, 0)
+    o = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    return jnp.max(jnp.where(o < d, S, 0), axis=0)
 
 
 def candidate_scan(hm: jax.Array, w, d, h, cfg: TAPConfig):
@@ -143,29 +155,23 @@ def candidate_scan(hm: jax.Array, w, d, h, cfg: TAPConfig):
 
     # support extent along x: rows i in [x, x+w) with rowmax[i, y] == landing
     xs = jnp.arange(Wt, dtype=jnp.int32)[:, None]           # [Wt, 1]
-    minx = jnp.full((Wt, Dt), BIG)
-    maxx = jnp.full((Wt, Dt), -BIG)
-    rpad = jnp.concatenate([rowmax, jnp.full_like(rowmax, -1)], axis=0)
-    for o in range(Wt):
-        sup = (o < w) & (rpad[o:o + Wt, :] == landing)
-        idx2 = 2 * (xs + o)
-        minx = jnp.where(sup, jnp.minimum(minx, idx2), minx)
-        maxx = jnp.where(sup, jnp.maximum(maxx, idx2), maxx)
+    Sr = _shift_stack_x(rowmax, Wt, -1)                     # [Wt, Wt, Dt]
+    o = jnp.arange(Wt, dtype=jnp.int32)[:, None, None]
+    sup_x = (o < w) & (Sr == landing[None])
+    idx2 = 2 * (xs[None] + o)
+    minx = jnp.min(jnp.where(sup_x, idx2, BIG), axis=0)
+    maxx = jnp.max(jnp.where(sup_x, idx2, -BIG), axis=0)
 
     ys = jnp.arange(Dt, dtype=jnp.int32)[None, :]           # [1, Dt]
     if Dt == 1:
-        miny = jnp.where(landing >= 0, jnp.zeros((Wt, Dt), jnp.int32), 0)
-        maxy = miny
         sup_y_ok = jnp.ones((Wt, Dt), bool)
     else:
-        miny = jnp.full((Wt, Dt), BIG)
-        maxy = jnp.full((Wt, Dt), -BIG)
-        cpad = jnp.concatenate([colmax, jnp.full_like(colmax, -1)], axis=1)
-        for o in range(Dt):
-            sup = (o < d) & (cpad[:, o:o + Dt] == landing)
-            idx2 = 2 * (ys + o)
-            miny = jnp.where(sup, jnp.minimum(miny, idx2), miny)
-            maxy = jnp.where(sup, jnp.maximum(maxy, idx2), maxy)
+        Sc = _shift_stack_y(colmax, Dt, -1)                 # [Dt, Wt, Dt]
+        oy = jnp.arange(Dt, dtype=jnp.int32)[:, None, None]
+        sup_y = (oy < d) & (Sc == landing[None])
+        idy2 = 2 * (ys[None] + oy)
+        miny = jnp.min(jnp.where(sup_y, idy2, BIG), axis=0)
+        maxy = jnp.max(jnp.where(sup_y, idy2, -BIG), axis=0)
         cy2 = 2 * ys + d - 1
         sup_y_ok = (miny <= cy2) & (cy2 <= maxy)
 
@@ -276,12 +282,15 @@ def select_action(mask: jax.Array, policy: str, key, t: jax.Array) -> jax.Array:
     return jnp.where(n > 0, a, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "policy"))
-def rollout(instance: Instance, key, cfg: TAPConfig, policy: str = "first"):
+@functools.partial(jax.jit, static_argnames=("cfg", "policy", "unroll"))
+def rollout(instance: Instance, key, cfg: TAPConfig, policy: str = "first",
+            unroll: int = 0):
     """Roll one instance (or batch via vmap outside) to termination.
 
     Returns (final_state, actions[N], reward). The whole trajectory is one
-    lax.scan — no host sync inside (SURVEY.md §7 Phase 4 design).
+    lax.scan — no host sync inside (SURVEY.md §7 Phase 4 design). The scan is
+    unrolled for small N (decode steps are tiny; merging them cuts kernel
+    launch overhead); pass `unroll` to override.
     """
     state0 = reset(instance, cfg)
 
@@ -290,8 +299,11 @@ def rollout(instance: Instance, key, cfg: TAPConfig, policy: str = "first"):
         a = select_action(mask, policy, key, t)
         return step(state, a, instance, cfg), a
 
+    if unroll == 0:
+        unroll = cfg.num_blocks if cfg.num_blocks <= 16 else 4
     state, actions = jax.lax.scan(
-        body, state0, jnp.arange(cfg.num_blocks, dtype=jnp.int32))
+        body, state0, jnp.arange(cfg.num_blocks, dtype=jnp.int32),
+        unroll=min(unroll, cfg.num_blocks))
     return state, actions, reward(state, instance, cfg)
 
 
