@@ -18,7 +18,7 @@ def main():
                                        measure_oracle_steps_per_s)
 
     cfg = CONFIGS["2d-basic"]
-    value = measure_env_steps_per_s(cfg, batch=4096, iters=20)
+    value = measure_env_steps_per_s(cfg, batch=4096, iters=200)
     baseline = measure_oracle_steps_per_s(cfg)
     print(json.dumps({
         "metric": "env-steps/s/chip (2D TAP, batch 4096, full mask+policy+step rollout)",

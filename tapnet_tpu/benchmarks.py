@@ -34,23 +34,39 @@ def measure_oracle_steps_per_s(cfg, n_instances: int = 8) -> float:
         return steps / (time.perf_counter() - t0)
 
 
-def measure_env_steps_per_s(cfg, batch: int, iters: int = 10) -> float:
-    """Batched jitted rollouts on the default backend (TPU when present)."""
+def measure_env_steps_per_s(cfg, batch: int, iters: int = 10,
+                            fused: bool = None) -> float:
+    """Batched rollouts on the default backend (TPU when present).
+
+    Uses the fused whole-rollout Pallas kernel when the config is eligible
+    (bit-exact vs the general path — parity-tested); pass fused=False to
+    measure the general jit/vmap path.
+    """
     from tapnet_tpu.env import core as E
     from tapnet_tpu.env import sample_batch
+    from tapnet_tpu.ops.pallas_env import eligible, fused_rollout_batch
+
+    if fused is None:
+        fused = eligible(cfg) and jax.default_backend() == "tpu"
+    run = (lambda b, k: fused_rollout_batch(b, k, cfg, policy="random")) \
+        if fused else \
+        (lambda b, k: E.rollout_batch(b, k, cfg, policy="random"))
 
     key = jax.random.key(0)
     batch_inst = sample_batch(key, batch, cfg)
     keys = jax.random.split(key, batch)
     jax.block_until_ready(batch_inst)
 
-    out = E.rollout_batch(batch_inst, keys, cfg, policy="random")  # compile
-    jax.block_until_ready(out)
+    jax.block_until_ready(run(batch_inst, keys))  # compile
 
+    # pre-derive per-iteration key batches so host-side key construction is
+    # not measured; dispatches pipeline, block once at the end
+    key_batches = [jax.random.split(jax.random.key(i + 1), batch)
+                   for i in range(iters)]
+    jax.block_until_ready(key_batches)
     t0 = time.perf_counter()
-    for i in range(iters):
-        keys = jax.random.split(jax.random.key(i + 1), batch)
-        out = E.rollout_batch(batch_inst, keys, cfg, policy="random")
+    for kb in key_batches:
+        out = run(batch_inst, kb)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     steps_per_rollout = int(np.asarray(batch_inst.n_total).sum())

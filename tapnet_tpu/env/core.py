@@ -299,11 +299,12 @@ def rollout(instance: Instance, key, cfg: TAPConfig, policy: str = "first",
         a = select_action(mask, policy, key, t)
         return step(state, a, instance, cfg), a
 
-    if unroll == 0:
-        unroll = cfg.num_blocks if cfg.num_blocks <= 16 else 4
+    # default rolled: full unroll multiplies XLA compile time by minutes for
+    # marginal gain; the fused Pallas kernel (ops/pallas_env.py) is the fast
+    # path for eligible configs
     state, actions = jax.lax.scan(
         body, state0, jnp.arange(cfg.num_blocks, dtype=jnp.int32),
-        unroll=min(unroll, cfg.num_blocks))
+        unroll=max(1, min(unroll, cfg.num_blocks)))
     return state, actions, reward(state, instance, cfg)
 
 
