@@ -1,0 +1,65 @@
+"""Aux subsystems: profiling counters, debug modes, scaling harness
+(SURVEY.md §5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tapnet_tpu.config import TAPConfig
+from tapnet_tpu.parallel.scaling import scaling_report
+from tapnet_tpu.utils.debug import (assert_deterministic, assert_finite,
+                                    nan_checks)
+from tapnet_tpu.utils.profiling import StepsPerSecond, annotate
+
+TINY = TAPConfig(dim=2, num_blocks=6, min_blocks=6, container_width=6,
+                 container_height=6, target_width=6)
+
+
+def test_steps_per_second_counter():
+    c = StepsPerSecond(steps_per_batch=100, n_devices=2)
+    c.update(10)
+    m = c.metrics()
+    assert m["env_steps_per_s"] > 0
+    assert m["env_steps_per_s_per_chip"] * 2 == pytest.approx(
+        m["env_steps_per_s"], rel=1e-3)
+
+
+def test_assert_finite_raises():
+    assert_finite({"a": jnp.ones(3)})
+    with pytest.raises(FloatingPointError):
+        assert_finite({"a": jnp.array([1.0, float("nan")])})
+
+
+def test_assert_deterministic():
+    f = jax.jit(lambda x: x * 2 + 1)
+    assert_deterministic(f, jnp.arange(8.0))
+    state = {"n": 0}
+
+    def flaky(x):
+        state["n"] += 1
+        return x + state["n"]
+    with pytest.raises(AssertionError):
+        assert_deterministic(flaky, np.ones(2))
+
+
+def test_nan_checks_context():
+    with nan_checks():
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans
+
+
+def test_annotate_scope_runs():
+    with annotate("test-scope"):
+        jax.block_until_ready(jnp.ones(4) * 2)
+
+
+def test_scaling_report_virtual_mesh():
+    rows = scaling_report(TINY, device_counts=[1, 4], per_device_batch=4,
+                          hidden=32, iters=2)
+    assert [r["devices"] for r in rows] == [1, 4]
+    assert rows[0]["efficiency"] == 1.0
+    assert rows[1]["train_steps_per_s"] > 0
+    # CPU virtual devices share cores, so no efficiency bar here — the bar
+    # (>=0.8) applies on real chips via the same harness.
+    assert 0 < rows[1]["efficiency"]
