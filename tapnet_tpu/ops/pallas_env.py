@@ -1,8 +1,8 @@
-"""Fused whole-rollout Pallas kernel for 2D TAP (the env hot path).
+"""Fused whole-rollout Pallas kernels for TAP (the env hot path).
 
 The batched env in `env/core.py` is correct and general, but its decode steps
 are tiny tensor ops — on TPU a rollout dissolves into hundreds of
-micro-kernels and becomes launch-latency-bound. This kernel runs the ENTIRE
+micro-kernels and becomes launch-latency-bound. These kernels run the ENTIRE
 rollout (mask -> policy-select -> candidate scan -> placement -> heightmap
 update, for all N decode steps) in ONE kernel launch per batch tile, with all
 state resident in VMEM and the batch on the 128-lane axis.
@@ -11,8 +11,11 @@ Bit-exactness: the math is the same integer math as core.py/SPEC.md; the
 policy's threefry draws are precomputed outside (bits(fold_in(key_b, t))), so
 fused and unfused rollouts are exactly equal — tested per-field.
 
-Eligibility (v1): dim == 2, single container, no rolling window, unbounded
-target height, policies first/random. The general path covers the rest.
+Coverage: placement rule `lb`, unbounded target height, policies
+first/random; 2D (single container, incl. the rolling window) via `_kernel2d`
+with heightmaps on [W, lanes]; 3D (any rotation/containers/window) via
+`_kernel3d` with heightmaps on [W, D, lanes]. Finite-height configs fall back
+to the general path (their action mask needs a per-action candidate scan).
 """
 
 from __future__ import annotations
@@ -32,8 +35,9 @@ BIG = 2**30  # python int: jnp constants would be captured consts in the kernel
 
 
 def eligible(cfg: TAPConfig) -> bool:
-    return (cfg.dim == 2 and cfg.num_containers == 1 and cfg.window == 0
-            and cfg.target_height == 0 and cfg.placement_rule == "lb")
+    if cfg.placement_rule != "lb" or cfg.target_height != 0:
+        return False
+    return cfg.dim == 3 or cfg.num_containers == 1
 
 
 def _inclusive_prefix_sum(x: jax.Array) -> jax.Array:
@@ -50,7 +54,29 @@ def _inclusive_prefix_sum(x: jax.Array) -> jax.Array:
     return s
 
 
-def _kernel(cfg: TAPConfig):
+def _select_onehot(mask, rbits_t):
+    """Uniform pick among mask's set rows: (onehot [A, TB], valid [TB])."""
+    count = jnp.sum(mask, axis=0)                            # [TB]
+    sel = (rbits_t % jnp.maximum(count, 1).astype(jnp.uint32)
+           ).astype(jnp.int32)
+    rank = _inclusive_prefix_sum(mask) - mask
+    onehot = mask * (rank == sel[None]).astype(jnp.int32)    # [A, TB]
+    return onehot, count > 0
+
+
+def _window_cut(acc0, window: int):
+    """Rolling-window observability: keep the first K accessible blocks
+    (rank over the accessible frontier, SPEC.md §8 / core.action_mask)."""
+    if window <= 0:
+        return acc0
+    rank = _inclusive_prefix_sum(acc0) - acc0
+    return acc0 * (rank < window).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------- #
+# 2D kernel: heightmap on [W, TB] (depth-1 grids keep sublanes dense)
+
+def _kernel2d(cfg: TAPConfig):
     N = cfg.num_blocks
     W = cfg.target_width
     R = cfg.num_rot
@@ -82,21 +108,17 @@ def _kernel(cfg: TAPConfig):
             unp = 1 - packed                                     # [N, TB]
             blocked0 = jnp.max(up * unp[:, None, :], axis=0)     # [N, TB]
             acc0 = unp * real * (1 - blocked0)
+            obs = _window_cut(acc0, cfg.window)
             if R == 2:
                 blockedr = jnp.max(rot * unp[:, None, :], axis=0)
-                accr = acc0 * (1 - blockedr)
+                accr = obs * (1 - blockedr)
                 mask = jnp.stack(
-                    [acc0 * (dims_w <= W), accr * (dims_h <= W)],
+                    [obs * (dims_w <= W), accr * (dims_h <= W)],
                     axis=1).reshape(A, TB)
             else:
-                mask = acc0 * (dims_w <= W)
+                mask = obs * (dims_w <= W)
 
-            count = jnp.sum(mask, axis=0)                        # [TB]
-            sel = (rbits[t] % jnp.maximum(count, 1).astype(jnp.uint32)
-                   ).astype(jnp.int32)
-            rank = _inclusive_prefix_sum(mask) - mask
-            onehot = mask * (rank == sel[None]).astype(jnp.int32)  # [A, TB]
-            valid = count > 0
+            onehot, valid = _select_onehot(mask, rbits[t])
 
             if R == 2:
                 oh = onehot.reshape(N, R, TB)
@@ -163,6 +185,176 @@ def _kernel(cfg: TAPConfig):
     return kernel
 
 
+# --------------------------------------------------------------------- #
+# 3D kernel: heightmaps on [W, D, TB] (D sublanes), C containers,
+# rotation = (w, d) swap (core.rotated_dims, rot_axes (0, 1))
+
+def _kernel3d(cfg: TAPConfig):
+    N = cfg.num_blocks
+    W = cfg.target_width
+    D = cfg.target_depth
+    R = cfg.num_rot
+    C = cfg.num_containers
+    A = N * R * C
+    hard = cfg.placement_variant == "hard"
+
+    def kernel(dims_w_ref, dims_d_ref, dims_h_ref, up_ref, rot_ref, ntot_ref,
+               rbits_ref, hm_ref, packed_ref, act_ref, place_ref):
+        dims_w = dims_w_ref[:]          # [N, TB]
+        dims_d = dims_d_ref[:]
+        dims_h = dims_h_ref[:]
+        up = up_ref[:]                  # [N, N, TB] int32 0/1
+        rot = rot_ref[:]
+        ntot = ntot_ref[:]              # [1, TB]
+        rbits = rbits_ref[:]            # [N, TB] uint32
+
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, TB), 0)
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, TB), 0)
+        x_i = jax.lax.broadcasted_iota(jnp.int32, (W, D, TB), 0)
+        y_i = jax.lax.broadcasted_iota(jnp.int32, (W, D, TB), 1)
+        ox4 = jax.lax.broadcasted_iota(jnp.int32, (W, W, D, TB), 0)
+        xb4 = jax.lax.broadcasted_iota(jnp.int32, (W, W, D, TB), 1)
+        oy4 = jax.lax.broadcasted_iota(jnp.int32, (D, W, D, TB), 0)
+        yb4 = jax.lax.broadcasted_iota(jnp.int32, (D, W, D, TB), 2)
+
+        real = (iota_n < ntot).astype(jnp.int32)
+        packed = 1 - real
+        hms = [jnp.zeros((W, D, TB), jnp.int32) for _ in range(C)]
+        actions = jnp.full((N, TB), -1, jnp.int32)
+        plc = jnp.full((N, 6, TB), -1, jnp.int32)
+
+        fits0 = (dims_w <= W) * (dims_d <= D)                    # [N, TB]
+        fits1 = (dims_d <= W) * (dims_w <= D)
+
+        def stack_x(a, fill):
+            """S[o, x, y, l] = a[x + o, y, l] (fill beyond the edge)."""
+            pad = jnp.concatenate([a, jnp.full_like(a, fill)], axis=0)
+            return jnp.stack([pad[o:o + W] for o in range(W)], axis=0)
+
+        def stack_y(a, fill):
+            """S[o, x, y, l] = a[x, y + o, l]."""
+            pad = jnp.concatenate([a, jnp.full_like(a, fill)], axis=1)
+            return jnp.stack([pad[:, o:o + D] for o in range(D)], axis=0)
+
+        for t in range(N):
+            unp = 1 - packed
+            blocked0 = jnp.max(up * unp[:, None, :], axis=0)
+            acc0 = unp * real * (1 - blocked0)
+            obs = _window_cut(acc0, cfg.window)
+            if R == 2:
+                blockedr = jnp.max(rot * unp[:, None, :], axis=0)
+                mask_nr = jnp.stack(
+                    [obs * fits0, obs * (1 - blockedr) * fits1], axis=1)
+            else:
+                mask_nr = obs[:, None, :] * fits0[:, None, :]    # [N, 1, TB]
+            # broadcast over containers; flat order (b, r, c) matches
+            # cfg.compose_action
+            mask = jnp.broadcast_to(mask_nr[:, :, None, :],
+                                    (N, R, C, TB)).reshape(A, TB)
+
+            onehot, valid = _select_onehot(mask, rbits[t])
+
+            oh = onehot.reshape(N, R, C, TB)
+            ohb = jnp.sum(oh, axis=(1, 2))                       # [N, TB]
+            r_sel = (jnp.sum(oh[:, 1], axis=(0, 1)) if R == 2
+                     else jnp.zeros((TB,), jnp.int32))           # [TB]
+            ocs = [jnp.sum(oh[:, :, c], axis=(0, 1)) for c in range(C)]
+
+            w_blk = jnp.sum(ohb * dims_w, axis=0)
+            d_blk = jnp.sum(ohb * dims_d, axis=0)
+            h_eff = jnp.sum(ohb * dims_h, axis=0)
+            w_eff = jnp.where(r_sel == 1, d_blk, w_blk)          # [TB]
+            d_eff = jnp.where(r_sel == 1, w_blk, d_blk)
+
+            # selected container's heightmap (ocs one-hot; all-zero when no
+            # feasible action, in which case do=False below)
+            hm = ocs[0][None, None, :] * hms[0]
+            for c in range(1, C):
+                hm = hm + ocs[c][None, None, :] * hms[c]
+
+            we = w_eff[None, None, None, :]
+            de = d_eff[None, None, None, :]
+
+            # footprint max, separable: rows over y, then columns over x
+            Sy = stack_y(hm, 0)                                  # [D, W, D, TB]
+            rowmax = jnp.max(jnp.where(oy4 < de, Sy, 0), axis=0)  # [W, D, TB]
+            Sx = stack_x(rowmax, -1)                             # [W, W, D, TB]
+            in_x = ox4 < we
+            landing = jnp.max(jnp.where(in_x, Sx, 0), axis=0)    # [W, D, TB]
+            # (-1 fill never wins the max at in-range offsets of valid
+            # candidates; invalid candidates are masked below, as in core)
+
+            # support extent along x (rows of the footprint touching `landing`)
+            sup_x = in_x & (Sx == landing[None])
+            idx2 = 2 * (xb4 + ox4)
+            minx = jnp.min(jnp.where(sup_x, idx2, BIG), axis=0)
+            maxx = jnp.max(jnp.where(sup_x, idx2, -BIG), axis=0)
+            cx2 = 2 * x_i + w_eff[None, None, :] - 1
+            sup_x_ok = (minx <= cx2) & (cx2 <= maxx)
+
+            # support extent along y, from column maxima over x
+            SxH = stack_x(hm, 0)
+            colmax = jnp.max(jnp.where(in_x, SxH, 0), axis=0)    # [W, D, TB]
+            Sc = stack_y(colmax, -1)                             # [D, W, D, TB]
+            sup_y = (oy4 < de) & (Sc == landing[None])
+            idy2 = 2 * (yb4 + oy4)
+            miny = jnp.min(jnp.where(sup_y, idy2, BIG), axis=0)
+            maxy = jnp.max(jnp.where(sup_y, idy2, -BIG), axis=0)
+            cy2 = 2 * y_i + d_eff[None, None, :] - 1
+            sup_y_ok = (miny <= cy2) & (cy2 <= maxy)
+
+            stable = (landing == 0) | (sup_x_ok & sup_y_ok)
+
+            validx = (x_i <= W - w_eff[None, None, :]) & \
+                     (y_i <= D - d_eff[None, None, :])
+            keyv = (landing * W + x_i) * D + y_i
+            key_soft = jnp.where(validx, keyv, BIG)
+            if hard:
+                key_hard = jnp.where(validx & stable, keyv, BIG)
+                use_hard = jnp.min(key_hard, axis=(0, 1)) < BIG
+                key_used = jnp.where(use_hard[None, None, :], key_hard,
+                                     key_soft)
+            else:
+                key_used = key_soft
+            kmin = jnp.min(key_used, axis=(0, 1))                # [TB]
+            any_valid = kmin < BIG
+            # injective key => exactly one winner among valid candidates
+            win = (key_used == kmin[None, None, :]).astype(jnp.int32)
+            x_star = jnp.sum(win * x_i, axis=(0, 1))
+            y_star = jnp.sum(win * y_i, axis=(0, 1))
+            l_star = jnp.sum(win * landing, axis=(0, 1))
+            s_star = jnp.sum(win * stable.astype(jnp.int32), axis=(0, 1))
+
+            do = valid & any_valid                               # [TB]
+            fp = (x_i >= x_star[None, None, :]) & \
+                 (x_i < (x_star + w_eff)[None, None, :]) & \
+                 (y_i >= y_star[None, None, :]) & \
+                 (y_i < (y_star + d_eff)[None, None, :])
+            top = (l_star + h_eff)[None, None, :]
+            for c in range(C):
+                sel_c = (ocs[c] == 1) & do
+                hms[c] = jnp.where(fp & sel_c[None, None, :], top, hms[c])
+            packed = packed + ohb * do[None].astype(jnp.int32)
+
+            a_idx = jnp.sum(onehot * iota_a, axis=0)
+            actions = jnp.where(iota_n == t, jnp.where(do, a_idx, -1)[None],
+                                actions)
+
+            c_star = sum(c * ocs[c] for c in range(1, C)) if C > 1 \
+                else jnp.zeros((TB,), jnp.int32)
+            row = jnp.stack([c_star, r_sel, x_star, y_star, l_star, s_star],
+                            axis=0)                              # [6, TB]
+            write = (ohb[:, None, :] == 1) & do[None, None, :]
+            plc = jnp.where(write, row[None], plc)
+
+        hm_ref[:] = jnp.stack(hms, axis=0).reshape(C * W, D, TB)
+        packed_ref[:] = packed
+        act_ref[:] = actions
+        place_ref[:] = plc.reshape(N * 6, TB)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "policy", "interpret"))
 def fused_rollout_batch(instances: Instance, keys, cfg: TAPConfig,
                         policy: str = "first", interpret: bool = False):
@@ -171,7 +363,8 @@ def fused_rollout_batch(instances: Instance, keys, cfg: TAPConfig,
     Returns (EnvState batch, actions [B, N], rewards [B]).
     """
     assert eligible(cfg), "config not supported by the fused kernel"
-    N, W = cfg.num_blocks, cfg.target_width
+    N, W, D, C = (cfg.num_blocks, cfg.target_width, cfg.target_depth,
+                  cfg.num_containers)
     B = instances.dims.shape[0]
     Bp = (B + TB - 1) // TB * TB
 
@@ -191,8 +384,6 @@ def fused_rollout_batch(instances: Instance, keys, cfg: TAPConfig,
         return jnp.pad(x, [(0, Bp - B)] + [(0, 0)] * (x.ndim - 1))
 
     # batch-last layouts
-    dims_w = bpad(instances.dims[:, :, 0]).T             # [N, Bp]
-    dims_h = bpad(instances.dims[:, :, 2]).T
     up = jnp.transpose(bpad(instances.up.astype(jnp.int32)), (1, 2, 0))
     rot = jnp.transpose(bpad(instances.rot.astype(jnp.int32)), (1, 2, 0))
     ntot = bpad(jnp.broadcast_to(instances.n_total[:, None], (B, 1))).T
@@ -202,22 +393,45 @@ def fused_rollout_batch(instances: Instance, keys, cfg: TAPConfig,
     bspec = lambda *shape: pl.BlockSpec(
         (*shape, TB), lambda i: tuple([0] * len(shape)) + (i,),
         memory_space=pltpu.VMEM)
-    hm, packed, actions, place = pl.pallas_call(
-        _kernel(cfg),
-        grid=grid,
-        in_specs=[bspec(N), bspec(N), bspec(N, N), bspec(N, N), bspec(1),
-                  bspec(N)],
-        out_specs=(bspec(W), bspec(N), bspec(N), bspec(N * 6)),
-        out_shape=(
-            jax.ShapeDtypeStruct((W, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((N, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((N, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((N * 6, Bp), jnp.int32),
-        ),
-        interpret=interpret,
-    )(dims_w, dims_h, up, rot, ntot, rbits_t)
 
-    heightmap = hm.T[:B].reshape(B, 1, W, 1)
+    if cfg.dim == 2:
+        dims_w = bpad(instances.dims[:, :, 0]).T         # [N, Bp]
+        dims_h = bpad(instances.dims[:, :, 2]).T
+        hm, packed, actions, place = pl.pallas_call(
+            _kernel2d(cfg),
+            grid=grid,
+            in_specs=[bspec(N), bspec(N), bspec(N, N), bspec(N, N), bspec(1),
+                      bspec(N)],
+            out_specs=(bspec(W), bspec(N), bspec(N), bspec(N * 6)),
+            out_shape=(
+                jax.ShapeDtypeStruct((W, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((N, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((N, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((N * 6, Bp), jnp.int32),
+            ),
+            interpret=interpret,
+        )(dims_w, dims_h, up, rot, ntot, rbits_t)
+        heightmap = hm.T[:B].reshape(B, 1, W, 1)
+    else:
+        dims_w = bpad(instances.dims[:, :, 0]).T
+        dims_d = bpad(instances.dims[:, :, 1]).T
+        dims_h = bpad(instances.dims[:, :, 2]).T
+        hm, packed, actions, place = pl.pallas_call(
+            _kernel3d(cfg),
+            grid=grid,
+            in_specs=[bspec(N), bspec(N), bspec(N), bspec(N, N), bspec(N, N),
+                      bspec(1), bspec(N)],
+            out_specs=(bspec(C * W, D), bspec(N), bspec(N), bspec(N * 6)),
+            out_shape=(
+                jax.ShapeDtypeStruct((C * W, D, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((N, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((N, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((N * 6, Bp), jnp.int32),
+            ),
+            interpret=interpret,
+        )(dims_w, dims_d, dims_h, up, rot, ntot, rbits_t)
+        heightmap = hm.reshape(C, W, D, Bp).transpose(3, 0, 1, 2)[:B]
+
     packed_b = packed.T[:B].astype(bool)
     placements = place.reshape(N, 6, Bp).transpose(2, 0, 1)[:B]
     actions_b = actions.T[:B]

@@ -1,7 +1,7 @@
-"""Fused whole-rollout Pallas kernel: bit-exact vs the general env path.
+"""Fused whole-rollout Pallas kernels: bit-exact vs the general env path.
 
-Also verified bit-equal on real TPU hardware (both policies, both 2D
-configs); CPU tests run the kernel in interpreter mode.
+Also verified bit-equal on real TPU hardware (both policies, all eligible
+configs); CPU tests run the kernels in interpreter mode.
 """
 
 import numpy as np
@@ -14,13 +14,8 @@ from tapnet_tpu.env.sampler import sample_batch
 from tapnet_tpu.ops.pallas_env import eligible, fused_rollout_batch
 
 
-@pytest.mark.parametrize("name", ["2d-basic", "2d-rot"])
-@pytest.mark.parametrize("policy", ["first", "random"])
-def test_fused_rollout_parity(name, policy):
-    cfg = CONFIGS[name]
-    assert eligible(cfg)
-    B = 40  # non-multiple of the 128 tile: exercises padding lanes
-    key = jax.random.key(0)
+def _assert_rollout_equal(cfg, B, policy, seed=0):
+    key = jax.random.key(seed)
     batch = sample_batch(key, B, cfg)
     keys = jax.random.split(key, B)
     s_ref, a_ref, r_ref = E.rollout_batch(batch, keys, cfg, policy=policy)
@@ -33,27 +28,61 @@ def test_fused_rollout_parity(name, policy):
     assert np.array_equal(np.asarray(r_ref), np.asarray(r_f))
 
 
-def test_fused_hard_variant_parity():
-    cfg = TAPConfig(reward_type="C+P+S-lb-hard", allow_rot=True)
+@pytest.mark.parametrize("name", ["2d-basic", "2d-rot"])
+@pytest.mark.parametrize("policy", ["first", "random"])
+def test_fused_rollout_parity_2d(name, policy):
+    cfg = CONFIGS[name]
     assert eligible(cfg)
-    B = 24
-    key = jax.random.key(7)
-    batch = sample_batch(key, B, cfg)
-    keys = jax.random.split(key, B)
-    s_ref, a_ref, r_ref = E.rollout_batch(batch, keys, cfg, policy="random")
-    s_f, a_f, r_f = fused_rollout_batch(batch, keys, cfg, policy="random",
-                                        interpret=True)
-    assert np.array_equal(np.asarray(a_ref), np.asarray(a_f))
-    assert np.array_equal(np.asarray(s_ref.heightmap), np.asarray(s_f.heightmap))
-    assert np.array_equal(np.asarray(r_ref), np.asarray(r_f))
+    # B=40: non-multiple of the 128 tile exercises padding lanes
+    _assert_rollout_equal(cfg, B=40, policy=policy)
+
+
+@pytest.mark.parametrize("name", ["3d-basic", "multi-container"])
+@pytest.mark.parametrize("policy", ["first", "random"])
+def test_fused_rollout_parity_3d(name, policy):
+    cfg = CONFIGS[name]
+    assert eligible(cfg)
+    _assert_rollout_equal(cfg, B=24, policy=policy, seed=3)
+
+
+def test_fused_rollout_parity_rolling_window():
+    cfg = CONFIGS["2d-rolling"]
+    assert eligible(cfg)
+    _assert_rollout_equal(cfg, B=12, policy="random", seed=5)
+
+
+def test_fused_rolling_window_3d():
+    cfg = TAPConfig(dim=3, num_blocks=16, min_blocks=8, container_width=6,
+                    container_depth=6, container_height=6, target_width=6,
+                    target_depth=6, window=4, allow_rot=True)
+    assert eligible(cfg)
+    _assert_rollout_equal(cfg, B=10, policy="random", seed=9)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_fused_hard_variant_parity(dim):
+    if dim == 2:
+        cfg = TAPConfig(reward_type="C+P+S-lb-hard", allow_rot=True)
+    else:
+        cfg = TAPConfig(dim=3, container_width=6, container_depth=6,
+                        container_height=6, target_width=6, target_depth=6,
+                        num_blocks=8, min_blocks=8, allow_rot=True,
+                        reward_type="C+P+S-lb-hard")
+    assert eligible(cfg)
+    _assert_rollout_equal(cfg, B=24, policy="random", seed=7)
 
 
 def test_eligibility_gate():
-    assert not eligible(CONFIGS["3d-basic"])
-    assert not eligible(CONFIGS["2d-rolling"])
-    assert not eligible(CONFIGS["multi-container"])
+    # all five driver configs are fused-eligible
+    for name in CONFIGS:
+        assert eligible(CONFIGS[name]), name
+    # finite target height needs the general path's per-action candidate scan
+    capped = TAPConfig(target_height=12)
+    assert not eligible(capped)
+    # 2D multi-container falls back to the general path
+    assert not eligible(TAPConfig(num_containers=2, container_height=20))
     with pytest.raises(AssertionError):
         fused_rollout_batch(
-            sample_batch(jax.random.key(0), 4, CONFIGS["3d-basic"]),
-            jax.random.split(jax.random.key(0), 4), CONFIGS["3d-basic"],
+            sample_batch(jax.random.key(0), 4, capped),
+            jax.random.split(jax.random.key(0), 4), capped,
             interpret=True)
