@@ -94,6 +94,9 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--seed", type=int, default=10_000)
+    p.add_argument("--baselines", action="store_true",
+                   help="also score the random/first heuristics on the "
+                        "same held-out instances")
 
     p = sub.add_parser("generate", help="write an instance dataset file")
     add_config_flags(p)
@@ -148,7 +151,7 @@ def main(argv=None) -> int:
         ts = ckpt.restore_checkpoint(path, ts)
         loop = TrainLoopConfig(hidden=args.hidden, valid_batch=args.batch,
                                valid_seed=args.seed)
-        out = evaluate(ts.params, cfg, loop)
+        out = evaluate(ts.params, cfg, loop, baselines=args.baselines)
         print(json.dumps({"ckpt": path, "step": int(ts.step),
                           **{k: float(v) for k, v in out.items()}}))
         return 0

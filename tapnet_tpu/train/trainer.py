@@ -38,16 +38,33 @@ class TrainLoopConfig:
     metrics_path: Optional[str] = None
 
 
-def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig):
-    """Greedy-decode validation on a fixed held-out instance stream."""
+def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
+             baselines: bool = False):
+    """Greedy-decode validation on a fixed held-out instance stream.
+
+    With baselines=True also rolls the reference-style fixed policies
+    ("random" uniform-feasible and "first" lowest-index) on the SAME
+    instances, so learned-vs-heuristic packing quality is directly
+    comparable (the reference validates the same way, SURVEY.md §3.2).
+    """
+    from tapnet_tpu.env import core as E
     from tapnet_tpu.env.sampler import sample_batch
 
     key = jax.random.key(loop.valid_seed)
     instances = sample_batch(key, loop.valid_batch, cfg)
     keys = jax.random.split(key, loop.valid_batch)
-    _, _, rewards, _ = policy_rollout_batch(
+    states, _, rewards, _ = policy_rollout_batch(
         params["actor"], instances, keys, cfg, loop.hidden, greedy=True)
-    return {"valid_reward": rewards.mean()}
+    vol, dc, dp, sn, sd = jax.vmap(
+        lambda s, i: E.reward_terms(s, i, cfg))(states, instances)
+    f = lambda n, d: (n / jnp.maximum(d, 1)).astype(jnp.float32).mean()
+    out = {"valid_reward": rewards.mean(), "valid_C": f(vol, dc),
+           "valid_P": f(vol, dp), "valid_S": f(sn, sd)}
+    if baselines:
+        for policy in ("random", "first"):
+            _, _, r = E.rollout_batch(instances, keys, cfg, policy=policy)
+            out[f"{policy}_reward"] = r.mean()
+    return out
 
 
 def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,

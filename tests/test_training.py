@@ -78,6 +78,19 @@ def test_greedy_eval_deterministic():
     assert a == b
 
 
+def test_eval_with_heuristic_baselines():
+    """Baseline scoring shares the held-out instances with the greedy eval."""
+    cfg = CONFIGS["2d-basic"]
+    params = init_params(jax.random.key(0), cfg, hidden=32)
+    loop = TrainLoopConfig(hidden=32, valid_batch=32)
+    out = evaluate(params, cfg, loop, baselines=True)
+    for k in ("valid_reward", "valid_C", "valid_P", "valid_S",
+              "random_reward", "first_reward"):
+        assert np.isfinite(float(out[k])), k
+    for k in ("valid_C", "valid_P", "valid_S"):
+        assert 0.0 < float(out[k]) <= 1.0, (k, float(out[k]))
+
+
 def test_rollout_actions_respect_masks():
     cfg = CONFIGS["multi-container"]
     params = init_params(jax.random.key(0), cfg, hidden=32)
