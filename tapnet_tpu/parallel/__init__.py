@@ -8,3 +8,5 @@ collectives, multi-host via jax.distributed, ≥80% scaling efficiency target.
 
 from tapnet_tpu.parallel.mesh import data_mesh, shard_leading_axis, replicate  # noqa: F401
 from tapnet_tpu.parallel.distributed import initialize_distributed  # noqa: F401
+from tapnet_tpu.parallel.tp import (data_model_mesh, shard_params_tp,  # noqa: F401
+                                    tp_sharding_tree)

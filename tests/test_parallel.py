@@ -71,3 +71,40 @@ def test_batch_rollout_shards_over_mesh():
     ref_states, ref_actions, ref_rewards = run(batch, keys)
     assert np.array_equal(np.asarray(actions), np.asarray(ref_actions))
     assert np.allclose(np.asarray(rewards), np.asarray(ref_rewards))
+
+
+def test_tensor_parallel_forward_matches_replicated():
+    """('data','model') mesh: column-sharded params give the same logits."""
+    from tapnet_tpu.models import build_tokens, init_params
+    from tapnet_tpu.models.tapnet import TAPNetActor
+    from tapnet_tpu.parallel.tp import data_model_mesh, shard_params_tp
+    from tapnet_tpu.env import core as E
+    from tapnet_tpu.env.sampler import sample_batch
+
+    cfg = TINY
+    hidden = 32
+    mesh = data_model_mesh(2, 4, jax.devices("cpu")[:8])
+    assert mesh.shape == {"data": 2, "model": 4}
+
+    key = jax.random.key(0)
+    params = init_params(key, cfg, hidden)["actor"]
+    B = 8
+    instances = sample_batch(key, B, cfg)
+    states = jax.vmap(lambda i: E.reset(i, cfg))(instances)
+    static, dynamic, hm = jax.vmap(
+        lambda i, s: build_tokens(i, s, cfg))(instances, states)
+
+    actor = TAPNetActor(cfg, hidden)
+
+    def batched(p, s, d, h):
+        return jax.vmap(lambda s_, d_, h_: actor.apply(p, s_, d_, h_))(s, d, h)
+
+    ref = jax.jit(batched)(params, static, dynamic, hm)
+
+    params_tp = shard_params_tp(params, mesh)
+    # kernels really are sharded over the model axis
+    leaf = params_tp["params"]["token_enc"]["Dense_0"]["kernel"]
+    assert leaf.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    out = jax.jit(batched)(params_tp, static, dynamic, hm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
