@@ -17,3 +17,5 @@ jax.config.update("jax_default_prng_impl", "threefry2x32")
 from tapnet_tpu.config import TAPConfig, CONFIGS  # noqa: E402,F401
 
 __version__ = "0.1.0"
+
+from tapnet_tpu.infer import pack, PackingPlan, PackingStep  # noqa: E402,F401
