@@ -22,6 +22,7 @@ from tapnet_tpu.env.sampler import sample_instance
 from tapnet_tpu.models.features import build_tokens
 from tapnet_tpu.models.tapnet import TAPNetCritic, init_params
 from tapnet_tpu.train.rollout import policy_rollout
+from tapnet_tpu.types import Instance
 
 
 class TrainState(NamedTuple):
@@ -82,7 +83,8 @@ def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
 def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
                     lr: float = 5e-4, clip: float = 2.0,
                     temperature: float = 1.0, critic_weight: float = 1.0,
-                    mesh=None, axis: str = "data", use_pallas=None):
+                    mesh=None, axis: str = "data", use_pallas=None,
+                    from_dataset: bool = False):
     """Build the jitted train step: TrainState -> (TrainState, metrics).
 
     With `mesh`, the on-device-sampled instance batch and per-instance action
@@ -90,6 +92,11 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
     its own shard; the only cross-device traffic is the gradient psum XLA
     inserts). Pass a TrainState placed replicated on the mesh
     (parallel.mesh.put_replicated).
+
+    With from_dataset=True the step signature becomes
+    (TrainState, Instance batch) -> (TrainState, metrics): instances come
+    from the caller (e.g. a utils.data.PackDataset minibatch stream, the
+    reference's file-dataset training flow) instead of the on-device sampler.
     """
     opt = make_optimizer(lr, clip)
     if use_pallas is None:
@@ -103,10 +110,11 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
         return loss, (actor_loss, critic_loss, R, terms)
 
     @jax.jit
-    def train_step(ts: TrainState):
+    def train_step(ts: TrainState, instances: Instance = None):
         key, k_inst, k_act = jax.random.split(ts.key, 3)
-        inst_keys = jax.random.split(k_inst, batch)
-        instances = jax.vmap(lambda k: sample_instance(k, cfg))(inst_keys)
+        if instances is None:
+            inst_keys = jax.random.split(k_inst, batch)
+            instances = jax.vmap(lambda k: sample_instance(k, cfg))(inst_keys)
         act_keys = jax.random.key_data(jax.random.split(k_act, batch))
         if mesh is not None:
             from tapnet_tpu.parallel.mesh import shard_leading_axis, replicate
@@ -132,4 +140,6 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
         }
         return TrainState(params, opt_state, ts.step + 1, key), metrics
 
-    return train_step
+    if from_dataset:
+        return train_step
+    return lambda ts: train_step(ts)

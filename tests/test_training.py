@@ -125,3 +125,25 @@ def test_learning_improves_reward():
         ts, _ = step(ts)
     after = float(evaluate(ts.params, cfg, loop)["valid_reward"])
     assert after > before + 0.1, (before, after)
+
+
+def test_train_step_from_dataset_file(tmp_path):
+    """Reference-style flow: train on minibatches from a saved dataset file."""
+    from tapnet_tpu.utils.data import PackDataset, generate_dataset
+
+    cfg = CONFIGS["2d-basic"]
+    path = str(tmp_path / "train.npz")
+    generate_dataset(path, cfg, num=32, seed=4, batch_size=16)
+    ds = PackDataset(path, batch_size=8, shuffle_seed=0)
+    assert len(ds) == 4
+
+    ts = init_train_state(jax.random.key(0), cfg, hidden=32)
+    step = make_train_step(cfg, batch=8, hidden=32, from_dataset=True)
+    r0 = None
+    for batch in ds:
+        batch = jax.tree.map(jnp.asarray, batch)
+        ts, metrics = step(ts, batch)
+        if r0 is None:
+            r0 = float(metrics["reward"])
+    assert int(ts.step) == 4
+    assert np.isfinite(float(metrics["reward"]))
