@@ -147,3 +147,49 @@ def test_train_step_from_dataset_file(tmp_path):
             r0 = float(metrics["reward"])
     assert int(ts.step) == 4
     assert np.isfinite(float(metrics["reward"]))
+
+
+def test_fault_injection_kill_and_resume(tmp_path):
+    """SURVEY.md §5: SIGKILL the training PROCESS mid-run; restart; the
+    resumed run's final checkpoint must equal the uninterrupted run's."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    def run_cmd(ckpt_dir):
+        return [sys.executable, "-m", "tapnet_tpu.cli", "--platform", "cpu",
+                "train", "--config", "2d-basic", "--epochs", "2",
+                "--steps-per-epoch", "3", "--batch", "8", "--hidden", "32",
+                "--valid-batch", "8", "--ckpt-dir", str(ckpt_dir)]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    # uninterrupted reference run
+    a = tmp_path / "a"
+    subprocess.run(run_cmd(a), check=True, env=env, capture_output=True,
+                   timeout=600)
+
+    # killed-and-resumed run
+    b = tmp_path / "b"
+    p = subprocess.Popen(run_cmd(b), env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    deadline = time.time() + 600
+    first = b / "ckpt_00000003.msgpack"
+    while not first.exists():
+        assert time.time() < deadline, "first epoch never checkpointed"
+        assert p.poll() is None, "run finished before it could be killed"
+        time.sleep(0.5)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    subprocess.run(run_cmd(b), check=True, env=env, capture_output=True,
+                   timeout=600)
+
+    cfg = CONFIGS["2d-basic"]
+    template = init_train_state(jax.random.key(9), cfg, hidden=32)
+    fin_a = ckpt.restore_checkpoint(str(a / "ckpt_00000006.msgpack"), template)
+    fin_b = ckpt.restore_checkpoint(str(b / "ckpt_00000006.msgpack"), template)
+    assert leaves_equal(fin_a.params, fin_b.params)
+    assert np.array_equal(np.asarray(jax.random.key_data(fin_a.key)),
+                          np.asarray(jax.random.key_data(fin_b.key)))
