@@ -12,7 +12,7 @@ import dataclasses
 import re
 from typing import Tuple
 
-_REWARD_RE = re.compile(r"^([CPS](\+[CPS])*)-(lb)-(soft|hard)$")
+_REWARD_RE = re.compile(r"^([CPS](\+[CPS])*)-(lb|mcs)-(soft|hard)$")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +44,24 @@ class TAPConfig:
             raise ValueError("initial container too small for num_blocks")
         if _REWARD_RE.match(self.reward_type) is None:
             raise ValueError(f"unsupported reward_type {self.reward_type!r}")
+        if len(set(self.reward_terms)) != len(self.reward_terms):
+            raise ValueError(f"duplicate reward terms in {self.reward_type!r}")
+        if self.placement_rule == "mcs":
+            # SPEC.md §6.4: mcs scores are compared as exact integer
+            # fractions; reject geometries whose worst-case numerator or
+            # denominator would overflow the 64-bit accumulators shared by
+            # the oracle / JAX (32-bit limb) / native (__int128) tiers.
+            area = self.target_width * self.target_depth
+            dmax = self.num_containers * area * self.height_cap  # ≥ dc', dp'
+            vmax = (self.container_width * self.container_depth
+                    * self.container_height)                     # ≥ vol'
+            smax = self.num_blocks                               # ≥ s_den'
+            n_bound = 2 * vmax * dmax * smax + smax * dmax * dmax
+            d_bound = dmax * dmax * smax
+            if dmax >= 2**31 or max(n_bound, d_bound) >= 2**63:
+                raise ValueError(
+                    "geometry too large for exact mcs scoring "
+                    f"(worst-case score fraction needs > 63 bits): {self!r}")
 
     # ---- derived static quantities -------------------------------------
 

@@ -184,14 +184,197 @@ def candidate_scan(hm: jax.Array, w, d, h, cfg: TAPConfig):
     return landing, stable, valid
 
 
-def choose_placement(hm: jax.Array, w, d, h, cfg: TAPConfig):
-    """lb-greedy argmin with soft/hard variant. Returns (x, y, l, stable, any_valid)."""
+def _window_sum_x(a: jax.Array, w: jax.Array, W: int) -> jax.Array:
+    """out[x, :] = sum(a[x : x+w, :]) with zero padding (cf. _window_max_x)."""
+    S = _shift_stack_x(a, W, 0)
+    o = jnp.arange(W, dtype=jnp.int32)[:, None, None]
+    return jnp.sum(jnp.where(o < w, S, 0), axis=0)
+
+
+def _window_sum_y(a: jax.Array, d: jax.Array, D: int) -> jax.Array:
+    if D == 1:
+        return a
+    S = _shift_stack_y(a, D, 0)
+    o = jnp.arange(D, dtype=jnp.int32)[:, None, None]
+    return jnp.sum(jnp.where(o < d, S, 0), axis=0)
+
+
+# --------------------------------------------------------------------- #
+# 32-bit limb arithmetic (SPEC.md §6.4 `mcs`)
+#
+# `mcs` compares exact integer score fractions n/d with n, d < 2^63
+# (guaranteed by TAPConfig validation). jax_enable_x64 is off framework-wide
+# (int32 end-to-end is the perf contract), so u64 values are (hi, lo) uint32
+# limb pairs and the n1*d2 vs n2*d1 cross-comparison runs in u128 limbs.
+# All ops are plain VPU integer ops — TPU-portable, no x64 anywhere.
+
+def _mul32(a, b):
+    """uint32 x uint32 -> full 64-bit product as (hi, lo) uint32 limbs."""
+    a = a.astype(jnp.uint32)
+    b = b.astype(jnp.uint32)
+    a0, a1 = a & 0xFFFF, a >> 16
+    b0, b1 = b & 0xFFFF, b >> 16
+    ll, lh, hl, hh = a0 * b0, a0 * b1, a1 * b0, a1 * b1
+    mid = (ll >> 16) + (lh & 0xFFFF) + (hl & 0xFFFF)
+    lo = (ll & 0xFFFF) | ((mid & 0xFFFF) << 16)
+    hi = hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
+    return hi, lo
+
+
+def _u64_add(x, y):
+    lo = x[1] + y[1]
+    carry = (lo < y[1]).astype(jnp.uint32)
+    return x[0] + y[0] + carry, lo
+
+
+def _u64_mul_u32(x, c):
+    """(hi, lo) * c, assuming the result fits in 64 bits (config guard)."""
+    hi, lo = _mul32(x[1], c)
+    _, lo2 = _mul32(x[0], c)  # high limb of x[0]*c must be 0 per the guard
+    return hi + lo2, lo
+
+
+def _u64_mul_u64(x, y):
+    """Full 128-bit product as 4 uint32 limbs, most significant first."""
+    ahi, alo = _mul32(x[1], y[1])
+    bhi, blo = _mul32(x[1], y[0])
+    chi, clo = _mul32(x[0], y[1])
+    dhi, dlo = _mul32(x[0], y[0])
+    w0 = alo
+    s1 = ahi + blo
+    c1 = (s1 < blo).astype(jnp.uint32)
+    w1 = s1 + clo
+    c2 = (w1 < clo).astype(jnp.uint32)
+    s2 = bhi + chi
+    k1 = (s2 < chi).astype(jnp.uint32)
+    s3 = s2 + dlo
+    k2 = (s3 < dlo).astype(jnp.uint32)
+    w2 = s3 + c1 + c2
+    k3 = (w2 < s3).astype(jnp.uint32)
+    w3 = dhi + k1 + k2 + k3
+    return w3, w2, w1, w0
+
+
+def _u128_gt_eq(a, b):
+    """Lexicographic (a > b, a == b) over equal-length limb tuples."""
+    gt = jnp.zeros(a[0].shape, bool)
+    eq = jnp.ones(a[0].shape, bool)
+    for ai, bi in zip(a, b):
+        gt = gt | (eq & (ai > bi))
+        eq = eq & (ai == bi)
+    return gt, eq
+
+
+def _mcs_score_fraction(cfg: TAPConfig, vol_p, dc_p, dp_p, sn_p, sd_p):
+    """Combine the configured reward terms into one u64 fraction n/d.
+
+    Terms (SPEC.md §7): C = vol'/dc', P = vol'/dp', S = sn'/sd'. All inputs
+    are non-negative int32 arrays; denominators are ≥ 1 for every candidate
+    (the block itself lands in the container).
+    """
+    fracs = []
+    for t in cfg.reward_terms:
+        if t == "C":
+            fracs.append((vol_p, dc_p))
+        elif t == "P":
+            fracs.append((vol_p, dp_p))
+        else:
+            fracs.append((sn_p, sd_p))
+    zero = jnp.zeros_like(fracs[0][0], dtype=jnp.uint32)
+    if len(fracs) == 1:
+        (n1, d1), = fracs
+        return (zero, n1.astype(jnp.uint32)), (zero, d1.astype(jnp.uint32))
+    if len(fracs) == 2:
+        (n1, d1), (n2, d2) = fracs
+        n = _u64_add(_mul32(n1, d2), _mul32(n2, d1))
+        return n, _mul32(d1, d2)
+    (n1, d1), (n2, d2), (n3, d3) = fracs
+    n = _u64_add(
+        _u64_add(_u64_mul_u32(_mul32(d2, d3), n1),
+                 _u64_mul_u32(_mul32(d1, d3), n2)),
+        _u64_mul_u32(_mul32(d1, d2), n3))
+    return n, _u64_mul_u32(_mul32(d1, d2), d3)
+
+
+def _mcs_choose(cfg: TAPConfig, landing, stable, valid, key, n64, d64):
+    """Tournament argmax by (class, exact score, -lb key); SPEC.md §6.4.
+
+    class: valid (+1 if also stable under the `hard` variant) — realizes the
+    hard variant's prefer-stable-then-fall-back semantics in one reduction.
+    """
+    Wt, Dt = cfg.target_width, cfg.target_depth
+    hard = cfg.placement_variant == "hard"
+    cls = valid.astype(jnp.int32)
+    if hard:
+        cls = cls + (valid & stable).astype(jnp.int32)
+    # zero the fractions of invalid candidates so limb compares see equals
+    n64 = tuple(jnp.where(valid, t, 0).astype(jnp.uint32) for t in n64)
+    d64 = tuple(jnp.where(valid, t, 0).astype(jnp.uint32) for t in d64)
+
+    fields = [cls.reshape(-1), key.reshape(-1),
+              n64[0].reshape(-1), n64[1].reshape(-1),
+              d64[0].reshape(-1), d64[1].reshape(-1)]
+    m = Wt * Dt
+    p2 = 1
+    while p2 < m:
+        p2 *= 2
+    pad = p2 - m
+    if pad:
+        fields = [jnp.concatenate([f, jnp.zeros((pad,), f.dtype)])
+                  for f in fields]
+        fields[1] = fields[1].at[m:].set(BIG)  # padded lb keys lose ties
+    while p2 > 1:
+        half = p2 // 2
+        a = [f[:half] for f in fields]
+        b = [f[half:p2] for f in fields]
+        pa = _u64_mul_u64((a[2], a[3]), (b[4], b[5]))  # n_a * d_b
+        pb = _u64_mul_u64((b[2], b[3]), (a[4], a[5]))  # n_b * d_a
+        gt, eq = _u128_gt_eq(pa, pb)
+        take_a = (a[0] > b[0]) | ((a[0] == b[0])
+                                  & (gt | (eq & (a[1] <= b[1]))))
+        fields = [jnp.where(take_a, fa, fb) for fa, fb in zip(a, b)]
+        p2 = half
+    win_key = fields[1][0]
+    y = win_key % Dt
+    x = (win_key // Dt) % Wt
+    return x, y
+
+
+def choose_placement(hm: jax.Array, w, d, h, cfg: TAPConfig, score_ctx=None):
+    """Placement per SPEC.md §6.4: `lb` argmin or `mcs` exact-score argmax,
+    with the soft/hard variant. Returns (x, y, l, stable, any_valid).
+
+    For `mcs`, `score_ctx = (vol, denom_c, denom_p, s_num, s_den)` — the
+    current global reward aggregates (`reward_terms` of the pre-step state).
+    """
     Wt, Dt = cfg.target_width, cfg.target_depth
     landing, stable, valid = candidate_scan(hm, w, d, h, cfg)
     xs = jnp.arange(Wt, dtype=jnp.int32)[:, None]
     ys = jnp.arange(Dt, dtype=jnp.int32)[None, :]
     key = (landing * Wt + xs) * Dt + ys
     key_soft = jnp.where(valid, key, BIG)
+
+    if cfg.placement_rule == "mcs":
+        assert score_ctx is not None, "mcs placement needs score_ctx"
+        vol, denom_c, denom_p, s_num, s_den = score_ctx
+        area = jnp.int32(Wt * Dt)
+        top = landing + h
+        cur_maxh = hm.max()
+        new_maxh = jnp.maximum(cur_maxh, top)
+        fpsum = _window_sum_x(_window_sum_y(hm, d, Dt), w, Wt)
+        dc_p = denom_c + area * (new_maxh - cur_maxh)
+        dp_p = denom_p + w * d * top - fpsum
+        vol_p = vol + w * d * h
+        sn_p = s_num + stable.astype(jnp.int32)
+        sd_p = s_den + 1
+        n64, d64 = _mcs_score_fraction(
+            cfg, jnp.broadcast_to(vol_p, key.shape), dc_p,
+            jnp.broadcast_to(dp_p, key.shape).astype(jnp.int32),
+            jnp.broadcast_to(sn_p, key.shape),
+            jnp.broadcast_to(sd_p, key.shape))
+        x, y = _mcs_choose(cfg, landing, stable, valid, key, n64, d64)
+        return x, y, landing[x, y], stable[x, y], valid.any()
+
     if cfg.placement_variant == "hard":
         key_hard = jnp.where(valid & stable, key, BIG)
         use_hard = (key_hard < BIG).any()
@@ -215,7 +398,9 @@ def step(state: EnvState, action: jax.Array, instance: Instance,
     w, d, h = rotated_dims(instance, b, r, cfg)
 
     hm = state.heightmap[c]
-    x, y, l, stable, any_valid = choose_placement(hm, w, d, h, cfg)
+    ctx = (reward_terms(state, instance, cfg)
+           if cfg.placement_rule == "mcs" else None)
+    x, y, l, stable, any_valid = choose_placement(hm, w, d, h, cfg, ctx)
     do = do & any_valid
 
     xs = jnp.arange(cfg.target_width, dtype=jnp.int32)[:, None]

@@ -57,6 +57,7 @@ def _load():
     lib.tap_rollout_batch.restype = c_int
     lib.tap_rollout_batch.argtypes = [
         c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_int, c_int,
+        c_int, c_int,
         i32p, i32p, u8p, u8p, c_int,
         ctypes.c_void_p, ctypes.c_void_p,
         i32p, i32p, u8p, i32p, i32p, c_int,
@@ -108,9 +109,11 @@ def rollout_batch(instances: Instance, cfg: TAPConfig, policy: str = "first",
     terms = np.empty((B, 5), np.int32)
     if n_threads <= 0:
         n_threads = min(32, os.cpu_count() or 1)
+    terms_mask = sum({"C": 1, "P": 2, "S": 4}[t] for t in set(cfg.reward_terms))
     rc = lib.tap_rollout_batch(
         B, cfg.dim, N, Wt, Dt, cfg.target_height, C, cfg.num_rot, cfg.window,
         1 if cfg.placement_variant == "hard" else 0,
+        1 if cfg.placement_rule == "mcs" else 0, terms_mask,
         dims, n_total, up, rot, pol,
         a_in.ctypes.data if a_in is not None else None,
         r_in.ctypes.data if r_in is not None else None,

@@ -26,6 +26,8 @@ namespace {
 
 struct Cfg {
   int dim, N, Wt, Dt, Ht, C, R, window, hard;
+  int rule;   // 0 = lb (left-bottom greedy), 1 = mcs (max candidate score)
+  int terms;  // reward-term bitmask for mcs scoring: 1 = C, 2 = P, 4 = S
 };
 
 struct Candidate {
@@ -85,11 +87,62 @@ struct Env {
     return false;
   }
 
+  // Cheap existence check (SPEC §5): feasibility is rule-independent.
+  bool has_candidate(int c, int w, int d, int h) {
+    for (int x = 0; x + w <= cfg.Wt; ++x)
+      for (int y = 0; y + d <= cfg.Dt; ++y) {
+        int l = 0;
+        for (int i = x; i < x + w; ++i)
+          for (int j = y; j < y + d; ++j)
+            if (hm_at(c, i, j) > l) l = hm_at(c, i, j);
+        if (cfg.Ht <= 0 || l + h <= cfg.Ht) return true;
+      }
+    return false;
+  }
+
+  // SPEC §6.4 mcs: exact score fraction n/d of the hypothetical state after
+  // placing at (x, y, l, stable); fits __int128 (config-level bound check).
+  void mcs_score(int c, int x, int y, int l, int stable, int w, int d, int h,
+                 const int64_t agg[5], __int128* n_out, __int128* d_out) {
+    int64_t vol = agg[0], denom_c = agg[1], denom_p = agg[2];
+    int64_t s_num = agg[3], s_den = agg[4];
+    int64_t curmax = 0, fpsum = 0;
+    for (int i = 0; i < cfg.Wt; ++i)
+      for (int j = 0; j < cfg.Dt; ++j) {
+        int32_t v = hm_at(c, i, j);
+        if (v > curmax) curmax = v;
+        if (i >= x && i < x + w && j >= y && j < y + d) fpsum += v;
+      }
+    int64_t top = l + h;
+    int64_t dc = denom_c + (int64_t)cfg.Wt * cfg.Dt *
+                               ((top > curmax ? top : curmax) - curmax);
+    int64_t dp = denom_p + (int64_t)w * d * top - fpsum;
+    int64_t vp = vol + (int64_t)w * d * h;
+    int64_t sn = s_num + stable, sd = s_den + 1;
+    __int128 n = 0, dd = 1;
+    const int64_t nums[3] = {vp, vp, sn};
+    const int64_t dens[3] = {dc, dp, sd};
+    for (int t = 0; t < 3; ++t) {
+      if (!(cfg.terms & (1 << t))) continue;
+      n = n * dens[t] + (__int128)nums[t] * dd;
+      dd = dd * dens[t];
+    }
+    *n_out = n;
+    *d_out = dd;
+  }
+
   // SPEC §6: best candidate in container c for footprint (w, d), height h.
   Candidate best_candidate(int c, int w, int d, int h) {
     const int Wt = cfg.Wt, Dt = cfg.Dt;
     Candidate soft, hard_c;
     int64_t soft_key = INT64_MAX, hard_key = INT64_MAX;
+    __int128 soft_n = 0, soft_d = 0, hard_n = 0, hard_d = 0;  // mcs scores
+    int64_t agg[5] = {0, 0, 0, 0, 0};
+    if (cfg.rule == 1) {
+      int32_t t32[5];
+      reward_terms(t32);
+      for (int i = 0; i < 5; ++i) agg[i] = t32[i];
+    }
     for (int x = 0; x + w <= Wt; ++x) {
       for (int y = 0; y + d <= Dt; ++y) {
         int l = 0;
@@ -117,10 +170,28 @@ struct Env {
                     2 * minj <= cy2 && cy2 <= 2 * maxj);
         }
         int64_t key = ((int64_t)l * Wt + x) * Dt + y;
-        if (key < soft_key) { soft_key = key; soft = {x, y, l, stable, true}; }
-        if (stable && key < hard_key) {
-          hard_key = key;
-          hard_c = {x, y, l, stable, true};
+        if (cfg.rule == 1) {  // mcs: max exact score, ties -> min lb key
+          __int128 n, dd;
+          mcs_score(c, x, y, l, stable, w, d, h, agg, &n, &dd);
+          auto better = [&](__int128 bn, __int128 bd, int64_t bkey) {
+            if (bd == 0) return true;  // no incumbent yet
+            __int128 lhs = n * bd, rhs = bn * dd;
+            return lhs > rhs || (lhs == rhs && key < bkey);
+          };
+          if (better(soft_n, soft_d, soft_key)) {
+            soft_key = key; soft_n = n; soft_d = dd;
+            soft = {x, y, l, stable, true};
+          }
+          if (stable && better(hard_n, hard_d, hard_key)) {
+            hard_key = key; hard_n = n; hard_d = dd;
+            hard_c = {x, y, l, stable, true};
+          }
+        } else {  // lb: min key
+          if (key < soft_key) { soft_key = key; soft = {x, y, l, stable, true}; }
+          if (stable && key < hard_key) {
+            hard_key = key;
+            hard_c = {x, y, l, stable, true};
+          }
         }
       }
     }
@@ -139,7 +210,7 @@ struct Env {
         rotated_dims(b, r, &w, &d, &h);
         if (w > cfg.Wt || d > cfg.Dt) continue;
         for (int c = 0; c < cfg.C; ++c) {
-          if (cfg.Ht > 0 && !best_candidate(c, w, d, h).valid) continue;
+          if (cfg.Ht > 0 && !has_candidate(c, w, d, h)) continue;
           mask[(b * cfg.R + r) * cfg.C + c] = 1;
         }
       }
@@ -234,6 +305,8 @@ extern "C" {
 int tap_rollout_batch(
     int B, int dim, int N, int Wt, int Dt, int Ht, int C, int R, int window,
     int hard,
+    int rule,        // 0 = lb, 1 = mcs (SPEC §6.4)
+    int terms_mask,  // mcs term bitmask: 1 = C, 2 = P, 4 = S
     const int32_t* dims,        // [B, N, 3]
     const int32_t* n_total,     // [B]
     const uint8_t* up,          // [B, N, N]
@@ -249,7 +322,7 @@ int tap_rollout_batch(
     int n_threads) {
   if (policy == REPLAY && actions_in == nullptr) return 1;
   if (policy == RANDOM && rbits == nullptr) return 2;
-  Cfg cfg{dim, N, Wt, Dt, Ht, C, R, window, hard};
+  Cfg cfg{dim, N, Wt, Dt, Ht, C, R, window, hard, rule, terms_mask};
   auto work = [&](int lo, int hi) {
     for (int i = lo; i < hi; ++i) {
       rollout_one(cfg, dims + (size_t)i * N * 3, n_total[i],

@@ -126,9 +126,34 @@ class OracleEnv:
                     out.append((x, y, l, stable))
         return out
 
+    def _cand_score(self, container: int, cand, w: int, d: int, h: int
+                    ) -> Fraction:
+        """SPEC.md §6.4 `mcs`: exact rational reward (§7, configured terms)
+        of the hypothetical state after placing the block at `cand`."""
+        cfg = self.cfg
+        x, y, l, stable = cand
+        hm = self.state.heightmap.copy()
+        hm[container, x:x + w, y:y + d] = l + h
+        placed = self.state.placements[:, PLACE_CONTAINER] >= 0
+        vol = int(sum(int(np.prod(self.inst.dims[b].astype(np.int64)))
+                      for b in np.nonzero(placed)[0])) + w * d * h
+        area = cfg.target_width * cfg.target_depth
+        denom_c = denom_p = 0
+        for c in range(cfg.num_containers):
+            mh = int(hm[c].max())
+            if mh > 0:
+                denom_c += area * mh
+                denom_p += int(hm[c].sum())
+        s_num = int(self.state.placements[placed, PLACE_STABLE].sum()) + int(stable)
+        s_den = int(placed.sum()) + 1
+        terms = {"C": Fraction(vol, denom_c), "P": Fraction(vol, denom_p),
+                 "S": Fraction(s_num, s_den)}
+        return sum((terms[t] for t in cfg.reward_terms), Fraction(0))
+
     def _best_candidate(self, container: int, w: int, d: int, h: int
                         ) -> Optional[Tuple[int, int, int, bool]]:
-        """Left-bottom greedy with soft/hard variant (SPEC.md §6.4)."""
+        """Placement rule (`lb` greedy / `mcs` scored) with soft/hard variant
+        (SPEC.md §6.4)."""
         cfg = self.cfg
         cands = self._scan(container, w, d, h)
         if not cands:
@@ -138,11 +163,20 @@ class OracleEnv:
             x, y, l, _ = c
             return (l * cfg.target_width + x) * cfg.target_depth + y
 
+        if cfg.placement_rule == "mcs":
+            def pick(pool):
+                # max score, ties broken by the minimal lb key
+                return max(pool, key=lambda c: (
+                    self._cand_score(container, c, w, d, h), -key(c)))
+        else:
+            def pick(pool):
+                return min(pool, key=key)
+
         if cfg.placement_variant == "hard":
             stable_cands = [c for c in cands if c[3]]
             if stable_cands:
-                return min(stable_cands, key=key)
-        return min(cands, key=key)
+                return pick(stable_cands)
+        return pick(cands)
 
     # ------------------------------------------------------------------ #
 

@@ -26,6 +26,7 @@ def _random_cfg(rng: np.random.Generator) -> TAPConfig:
     num_blocks = int(rng.integers(4, min(13, W * D * H + 1)))
     min_blocks = int(rng.integers(max(1, num_blocks - 3), num_blocks + 1))
     terms = rng.choice(["C", "C+P", "C+P+S", "P+S", "S"])
+    rule = rng.choice(["lb", "lb", "mcs"])  # SPEC.md §6.4 placement rules
     variant = rng.choice(["soft", "hard"])
     tw = int(rng.integers(max(2, W - 2), W + 3))
     td = 1 if dim == 2 else int(rng.integers(max(2, D - 1), D + 2))
@@ -37,7 +38,7 @@ def _random_cfg(rng: np.random.Generator) -> TAPConfig:
         num_containers=int(rng.choice([1, 1, 2])),
         allow_rot=bool(rng.random() < 0.6),
         window=0 if rng.random() < 0.6 else int(rng.integers(2, 6)),
-        reward_type=f"{terms}-lb-{variant}")
+        reward_type=f"{terms}-{rule}-{variant}")
 
 
 @pytest.mark.parametrize("seed", range(12))
