@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from tapnet_tpu.config import TAPConfig
-from tapnet_tpu.oracle.generator import N_TOTAL_FOLD
+from tapnet_tpu.oracle.generator import MIX_FOLD, N_TOTAL_FOLD
 from tapnet_tpu.types import Instance
 
 
@@ -32,15 +32,22 @@ def _nth_true(mask: jax.Array, k: jax.Array) -> jax.Array:
     return jnp.argmax(mask & (rank == k)).astype(jnp.int32)
 
 
-def sample_instance(key, cfg: TAPConfig) -> Instance:
-    """Generate one instance; jit/vmap-safe. Bit-exact vs the oracle."""
+def sample_instance(key, cfg: TAPConfig, flat=False) -> Instance:
+    """Generate one instance; jit/vmap-safe. Bit-exact vs the oracle.
+
+    `flat` (bool, may be traced): SPEC.md §9 mixed sampling — generate a 2D
+    (depth-1, split axes (x, z)) instance inside a 3D env.
+    """
     N = cfg.num_blocks
+    flat = jnp.asarray(flat)
     axes_enabled = jnp.array([ax in cfg.split_axes for ax in range(3)])
+    axes_enabled = axes_enabled.at[1].set(axes_enabled[1] & ~flat)
 
     pos = jnp.zeros((N, 3), jnp.int32)
+    depth0 = jnp.where(flat, 1, cfg.container_depth).astype(jnp.int32)
     size = jnp.ones((N, 3), jnp.int32).at[0].set(
-        jnp.array([cfg.container_width, cfg.container_depth,
-                   cfg.container_height], jnp.int32))
+        jnp.stack([jnp.int32(cfg.container_width), depth0,
+                   jnp.int32(cfg.container_height)]))
 
     span = cfg.num_blocks - cfg.min_blocks + 1
     n_total = cfg.min_blocks + _umod(
@@ -132,3 +139,25 @@ def sample_batch(key, batch: int, cfg: TAPConfig) -> Instance:
     """Batch of instances: vmap over per-instance keys."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: sample_instance(k, cfg))(keys)
+
+
+def sample_batch_mixed(key, batch: int, cfg: TAPConfig,
+                       p2d: float = 0.5) -> Instance:
+    """Mixed 2D/3D batch (SPEC.md §9): each instance is independently flat
+    (depth-1 blocks) with probability ~p2d, via the frozen MIX_FOLD draw —
+    bit-exact vs `oracle.generator.generate_instance(key_b, cfg, flat_b)`
+    with `flat_b = mix_flat(key_b, p2d)`. 3D envs only."""
+    if cfg.dim != 3:
+        raise ValueError("mixed 2D/3D batches require a 3D env (dim=3)")
+    if cfg.num_blocks > cfg.container_width * cfg.container_height:
+        raise ValueError("num_blocks must fit a depth-1 initial container "
+                         "for mixed sampling")
+    thresh = min(max(int(p2d * 2**32), 0), 2**32)
+    keys = jax.random.split(key, batch)
+
+    def one(k):
+        flat = _bits(jax.random.fold_in(k, MIX_FOLD)) < jnp.uint32(
+            min(thresh, 2**32 - 1)) if thresh < 2**32 else jnp.bool_(True)
+        return sample_instance(k, cfg, flat=flat)
+
+    return jax.vmap(one)(keys)

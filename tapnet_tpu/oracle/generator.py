@@ -16,18 +16,30 @@ from tapnet_tpu.types import Instance
 
 # fold_in index reserved for the n_total draw (SPEC.md §2).
 N_TOTAL_FOLD = 10**6
+# fold_in index reserved for the mixed-batch flat/3D draw (SPEC.md §9).
+MIX_FOLD = 10**6 + 1
 
 
 def _bits(key) -> int:
     return int(jax.random.bits(key, dtype=np.uint32))
 
 
-def generate_instance(key, cfg: TAPConfig) -> Instance:
-    """Generate one instance with numpy loops (the executable spec)."""
+def generate_instance(key, cfg: TAPConfig, flat: bool = False) -> Instance:
+    """Generate one instance with numpy loops (the executable spec).
+
+    flat=True (SPEC.md §9 mixed sampling, 3D env only): the guillotine runs
+    on the depth-1 initial container (W, 1, H) with split axes (x, z), so
+    every block is 2D (d = 1) inside the 3D frame.
+    """
     N = cfg.num_blocks
+    if flat:
+        assert cfg.dim == 3, "flat instances live inside a 3D env"
+        depth0, split_axes = 1, (0, 2)
+    else:
+        depth0, split_axes = cfg.container_depth, cfg.split_axes
     pos = np.zeros((N, 3), dtype=np.int32)
     size = np.ones((N, 3), dtype=np.int32)
-    size[0] = (cfg.container_width, cfg.container_depth, cfg.container_height)
+    size[0] = (cfg.container_width, depth0, cfg.container_height)
 
     span = cfg.num_blocks - cfg.min_blocks + 1
     n_total = cfg.min_blocks + _bits(jax.random.fold_in(key, N_TOTAL_FOLD)) % span
@@ -41,10 +53,10 @@ def generate_instance(key, cfg: TAPConfig) -> Instance:
             continue  # inactive step: keys derived, nothing else consumed
         splittable = [
             r for r in range(n)
-            if any(size[r, ax] >= 2 for ax in cfg.split_axes)
+            if any(size[r, ax] >= 2 for ax in split_axes)
         ]
         j = splittable[r_rect % len(splittable)]
-        axes = [ax for ax in cfg.split_axes if size[j, ax] >= 2]
+        axes = [ax for ax in split_axes if size[j, ax] >= 2]
         axis = axes[r_axis % len(axes)]
         s = int(size[j, axis])
         cut = 1 + r_pos % (s - 1)
@@ -66,6 +78,12 @@ def generate_instance(key, cfg: TAPConfig) -> Instance:
         up=up,
         rot=rot,
     )
+
+
+def mix_flat(key, p2d: float) -> bool:
+    """SPEC.md §9 mixed-batch draw: flat iff threefry bits under threshold."""
+    thresh = min(max(int(p2d * 2**32), 0), 2**32)
+    return _bits(jax.random.fold_in(key, MIX_FOLD)) < thresh
 
 
 def _overlap(a0: int, alen: int, b0: int, blen: int) -> bool:
