@@ -60,17 +60,26 @@ def dynamic_tokens(instance: Instance, state: EnvState,
 
 
 def heightmap_features(state: EnvState, cfg: TAPConfig) -> jax.Array:
-    """Per container [C, Wt*Dt + 2]: normalized heightmap + max/mean summary."""
+    """Normalized per-container heightmap grid [C, Wt, Dt, 1] (CNN input)."""
     s = _scale(cfg)
-    hm = state.heightmap.astype(jnp.float32) / s
-    flat = hm.reshape(cfg.num_containers, -1)
-    mx = hm.max(axis=(1, 2), keepdims=False)[:, None]
-    mn = hm.mean(axis=(1, 2), keepdims=False)[:, None]
-    return jnp.concatenate([flat, mx, mn], axis=1)
+    return (state.heightmap.astype(jnp.float32) / s)[..., None]
+
+
+def heightmap_grid(heightmap: jax.Array, cfg: TAPConfig) -> jax.Array:
+    """As heightmap_features, but from a raw heightmap array (replay path)."""
+    s = _scale(cfg)
+    return (heightmap.astype(jnp.float32) / s)[..., None]
+
+
+def dynamic_tokens_from(instance: Instance, packed: jax.Array, t: jax.Array,
+                        cfg: TAPConfig) -> jax.Array:
+    """dynamic_tokens from raw (packed, t) instead of an EnvState (replay)."""
+    return dynamic_tokens(instance, EnvState(heightmap=None, packed=packed,
+                                             placements=None, t=t), cfg)
 
 
 def build_tokens(instance: Instance, state: EnvState, cfg: TAPConfig):
-    """(static [T,4], dynamic [T,4], heightmap [C, Wt*Dt+2]) for one instance."""
+    """(static [T,4], dynamic [T,4], heightmap [C,Wt,Dt,1]) for one instance."""
     return (static_tokens(instance, cfg),
             dynamic_tokens(instance, state, cfg),
             heightmap_features(state, cfg))

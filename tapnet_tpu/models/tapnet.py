@@ -2,19 +2,29 @@
 
 Reference shape (SURVEY.md §2.1, `model.py` DRL/Encoder/Attention/Pointer +
 StateCritic, unverified names): conv1d embeddings of static dims + dynamic
-flags, a heightmap encoder, and an attention decoder emitting a pointer
-distribution over block×rotation(×container), with infeasible logits masked.
+flags, a heightmap CNN encoder, and an attention decoder conditioned on the
+decode history, emitting a pointer distribution over
+block×rotation(×container) with infeasible logits masked.
 
-TPU-first re-design: token grid [T = N·R, h] through dense residual blocks
-(MXU-friendly matmuls, no recurrence), per-container queries from the
-heightmap embedding, additive (Bahdanau) attention scores as one batched
-matmul — the whole per-step forward is a handful of [T, h] GEMMs that XLA
-fuses; the decode loop lives in the caller's lax.scan.
+TPU-first re-design:
+- token grid [T = N·R, h] through dense residual blocks (MXU matmuls, no
+  recurrence); the static-dims embedding is exposed separately
+  (`embed_static`) so rollout/replay callers hoist it out of the decode loop
+  — it never changes across steps;
+- target-container state through a small CNN over the [W, D] heightmap grid
+  (the reference's heightmap encoder row) + global max/mean pooling;
+- decode history enters as an embedding of the previously selected action
+  (the reference decoder's last-selected-block conditioning) — a lookup, not
+  a recurrence, so replay stays embarrassingly parallel over decode steps;
+- additive (Bahdanau) attention scores as one batched matmul.
+
+The whole per-step forward is a handful of [T, h] GEMMs + one tiny conv that
+XLA fuses; the decode loop lives in the caller's lax.scan.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -24,25 +34,57 @@ from tapnet_tpu.config import TAPConfig
 
 
 class _TokenEncoder(nn.Module):
-    hidden: int
+    """Residual MLP over (block, rot) tokens; static embedding split out."""
 
-    @nn.compact
-    def __call__(self, static, dynamic):
-        x = nn.Dense(self.hidden)(static) + nn.Dense(self.hidden)(dynamic)
-        for _ in range(2):
-            y = nn.LayerNorm()(x)
-            y = nn.Dense(self.hidden)(nn.relu(nn.Dense(self.hidden)(y)))
+    hidden: int
+    blocks: int = 2
+
+    def setup(self):
+        self.static_proj = nn.Dense(self.hidden)
+        self.dynamic_proj = nn.Dense(self.hidden)
+        self.norms = [nn.LayerNorm() for _ in range(self.blocks)]
+        self.ff1 = [nn.Dense(self.hidden) for _ in range(self.blocks)]
+        self.ff2 = [nn.Dense(self.hidden) for _ in range(self.blocks)]
+
+    def embed_static(self, static):  # [..., T, F] -> [..., T, h]
+        return self.static_proj(static)
+
+    def finish(self, static_emb, dynamic):  # -> [..., T, h]
+        x = static_emb + self.dynamic_proj(dynamic)
+        for norm, f1, f2 in zip(self.norms, self.ff1, self.ff2):
+            y = norm(x)
+            y = f2(nn.relu(f1(y)))
             x = x + y
-        return x  # [T, h]
+        return x
+
+    def __call__(self, static, dynamic):
+        return self.finish(self.embed_static(static), dynamic)
 
 
-class _HeightmapEncoder(nn.Module):
+class _HeightmapCNN(nn.Module):
+    """Conv encoder over per-container [W, D] heightmap grids.
+
+    Input [..., C, W, D, 1] normalized heights; output [..., C, h]. Global
+    max+mean pooling keeps the output static-shape for any (W, D).
+    """
+
     hidden: int
+    features: int = 32
 
     @nn.compact
-    def __call__(self, hm_feats):  # [C, F]
-        x = nn.relu(nn.Dense(self.hidden)(hm_feats))
-        return nn.Dense(self.hidden)(x)  # [C, h]
+    def __call__(self, hm_grid):
+        lead = hm_grid.shape[:-3]
+        x = hm_grid.reshape((-1,) + hm_grid.shape[-3:])   # [B*C, W, D, 1]
+        x = nn.relu(nn.Conv(self.features // 2, (3, 3), padding="SAME")(x))
+        x = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        pooled = jnp.concatenate([
+            x.max(axis=(1, 2)),
+            x.mean(axis=(1, 2)),
+            hm_grid.reshape(x.shape[0], -1).max(axis=1, keepdims=True),
+            hm_grid.reshape(x.shape[0], -1).mean(axis=1, keepdims=True),
+        ], axis=-1)
+        out = nn.Dense(self.hidden)(pooled)
+        return out.reshape(lead + (self.hidden,))         # [..., C, h]
 
 
 class TAPNetActor(nn.Module):
@@ -51,28 +93,56 @@ class TAPNetActor(nn.Module):
     cfg: TAPConfig
     hidden: int = 128
 
-    @nn.compact
-    def __call__(self, static, dynamic, hm_feats):
-        cfg = self.cfg
-        tok = _TokenEncoder(self.hidden, name="token_enc")(static, dynamic)
-        hm = _HeightmapEncoder(self.hidden, name="hm_enc")(hm_feats)  # [C, h]
+    def setup(self):
+        self.token_enc = _TokenEncoder(self.hidden)
+        self.hm_enc = _HeightmapCNN(self.hidden)
+        # decode history: embedding of the previous action; index 0 = "start"
+        self.prev_embed = nn.Embed(self.cfg.num_actions + 1, self.hidden)
+        self.query = nn.Dense(self.hidden)
+        self.key_proj = nn.Dense(self.hidden, use_bias=False)
+        self.v = self.param("v", nn.initializers.lecun_normal(),
+                            (self.hidden, 1))
 
-        ctx = tok.mean(axis=0, keepdims=True)                      # [1, h]
-        q = nn.Dense(self.hidden, name="query")(
-            jnp.concatenate([hm, jnp.broadcast_to(ctx, hm.shape)], axis=1)
-        )                                                          # [C, h]
+    def embed_static(self, static):
+        """Hoistable static-dims embedding [T, F] -> [T, h]."""
+        return self.token_enc.embed_static(static)
+
+    def head(self, static_emb, dynamic, hm_grid, prev_action=None):
+        """Pointer logits from a precomputed static embedding.
+
+        static_emb [T, h], dynamic [T, Fd], hm_grid [C, W, D, 1],
+        prev_action int32 scalar in [-1, A) (-1 / None = decode start).
+        """
+        cfg = self.cfg
+        tok = self.token_enc.finish(static_emb, dynamic)       # [T, h]
+        hm = self.hm_enc(hm_grid)                              # [C, h]
+
+        if prev_action is None:
+            prev_action = jnp.int32(-1)
+        prev = self.prev_embed(jnp.clip(prev_action + 1, 0,
+                                        cfg.num_actions))      # [h]
+
+        ctx = tok.mean(axis=0)                                 # [h]
+        qin = jnp.concatenate([
+            hm,
+            jnp.broadcast_to(ctx[None], hm.shape),
+            jnp.broadcast_to(prev[None], hm.shape),
+        ], axis=-1)                                            # [C, 3h]
+        q = self.query(qin)                                    # [C, h]
 
         # additive attention: score[t, c] = v . tanh(W tok_t + q_c)
-        wt = nn.Dense(self.hidden, use_bias=False, name="key")(tok)  # [T, h]
-        act = jnp.tanh(wt[:, None, :] + q[None, :, :])               # [T, C, h]
-        v = self.param("v", nn.initializers.lecun_normal(),
-                       (self.hidden, 1))
-        scores = (act @ v)[..., 0]                                   # [T, C]
+        wt = self.key_proj(tok)                                # [T, h]
+        act = jnp.tanh(wt[:, None, :] + q[None, :, :])         # [T, C, h]
+        scores = (act @ self.v)[..., 0]                        # [T, C]
         # [T, C] -> [N, R, C] -> flat [A]
         return scores.reshape(cfg.num_actions)
 
-    def logits(self, params, static, dynamic, hm_feats):
-        return self.apply(params, static, dynamic, hm_feats)
+    def __call__(self, static, dynamic, hm_grid, prev_action=None):
+        return self.head(self.embed_static(static), dynamic, hm_grid,
+                         prev_action)
+
+    def logits(self, params, static, dynamic, hm_grid, prev_action=None):
+        return self.apply(params, static, dynamic, hm_grid, prev_action)
 
 
 class TAPNetCritic(nn.Module):
@@ -82,9 +152,9 @@ class TAPNetCritic(nn.Module):
     hidden: int = 128
 
     @nn.compact
-    def __call__(self, static, dynamic, hm_feats):
+    def __call__(self, static, dynamic, hm_grid):
         tok = _TokenEncoder(self.hidden, name="token_enc")(static, dynamic)
-        hm = _HeightmapEncoder(self.hidden, name="hm_enc")(hm_feats)
+        hm = _HeightmapCNN(self.hidden, name="hm_enc")(hm_grid)
         x = jnp.concatenate([tok.mean(axis=0), hm.mean(axis=0)])
         x = nn.relu(nn.Dense(self.hidden)(x))
         x = nn.relu(nn.Dense(self.hidden)(x))
@@ -96,8 +166,8 @@ def init_params(key, cfg: TAPConfig, hidden: int = 128) -> dict[str, Any]:
     T = cfg.num_blocks * cfg.num_rot
     static = jnp.zeros((T, 4), jnp.float32)
     dynamic = jnp.zeros((T, 4), jnp.float32)
-    hm = jnp.zeros((cfg.num_containers,
-                    cfg.target_width * cfg.target_depth + 2), jnp.float32)
+    hm = jnp.zeros((cfg.num_containers, cfg.target_width, cfg.target_depth, 1),
+                   jnp.float32)
     ka, kc = jax.random.split(key)
     actor = TAPNetActor(cfg, hidden).init(ka, static, dynamic, hm)
     critic = TAPNetCritic(cfg, hidden).init(kc, static, dynamic, hm)

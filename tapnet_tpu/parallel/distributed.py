@@ -41,3 +41,34 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         process_id=process_id,
     )
     return True
+
+
+def make_global(tree, mesh, spec=None):
+    """Build global (possibly cross-process) arrays from per-host data.
+
+    Each process passes the FULL logical value of every leaf; leaves become
+    global jax.Arrays laid out per `spec` (default: fully replicated) on
+    `mesh`. Works in single-process runs too, so callers need no branching.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = spec if spec is not None else P()
+
+    def put(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype,
+                                                         jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = put(np.asarray(jax.random.key_data(x)))
+            return jax.random.wrap_key_data(data, impl=impl)
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+    return jax.tree.map(put, tree)
+
+
+def local_value(x):
+    """Host-local view of a (replicated) global array's first local shard."""
+    return x.addressable_data(0)

@@ -1,65 +1,167 @@
-"""Differentiable policy rollouts: the env loop fused with the actor.
+"""Policy rollouts: batched decode loop + parallel replay for REINFORCE.
 
 The reference interleaves GPU policy calls with a per-instance CPU env loop
 and host<->device copies every decode step (SURVEY.md §3.1 hot loop). Here
-one lax.scan carries (EnvState, log-prob sum) through N decode steps with the
-actor applied inside the scan; `vmap` lifts it over the instance batch, so a
-whole epoch step is a single XLA program.
+the whole batch moves through ONE lax.scan of N decode steps (actor applied
+inside the scan), and — the TPU-first part — the *differentiated* pass never
+touches the scan at all:
+
+- `rollout_batch_record` rolls the batch WITHOUT gradients, recording the
+  tiny per-step observation state (packed bits, heightmaps, masks, actions);
+- `replay_logp_sum` recomputes all B·N decode logits in ONE batched forward
+  over the recorded observations, so the REINFORCE backward pass is a single
+  stack of MXU-shaped GEMMs instead of N sequential scan iterations with
+  saved residuals.
+
+Decode-history conditioning stays parallel in replay because the "history"
+at step t is just the recorded action at t-1 (a shift, not a recurrence).
+The static-dims embedding is hoisted out of the decode loop entirely
+(`TAPNetActor.embed_static`) — it never changes across steps.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from tapnet_tpu.config import TAPConfig
 from tapnet_tpu.env import core as E
-from tapnet_tpu.models.features import build_tokens
+from tapnet_tpu.models.features import (dynamic_tokens, dynamic_tokens_from,
+                                        heightmap_grid, static_tokens)
 from tapnet_tpu.models.tapnet import TAPNetActor
-from tapnet_tpu.types import Instance
+from tapnet_tpu.types import EnvState, Instance
 
 NEG = jnp.float32(-1e9)
 
 
+class RolloutRecord(NamedTuple):
+    """Per-step observations seen by the policy (pre-step state), stacked on
+    a leading decode-step axis of length N. Enough to replay every decode
+    logit in parallel."""
+
+    packed: jax.Array     # bool[N, B, num_blocks]
+    heightmap: jax.Array  # int32[N, B, C, W, D]
+    mask: jax.Array       # bool[N, B, A]
+    action: jax.Array     # int32[N, B] (-1 = no feasible action)
+
+
+def _masked_logits(logits, mask, temperature):
+    return jnp.where(mask, logits / temperature, NEG)
+
+
+def rollout_batch_record(actor_params, instances: Instance, keys,
+                         cfg: TAPConfig, hidden: int = 128,
+                         greedy: bool = False, temperature: float = 1.0):
+    """Roll a batch with the actor; returns (states, RolloutRecord, logp_sum).
+
+    Sampling is Gumbel-argmax over masked logits (identical in law to
+    categorical sampling), with the exact per-instance threefry schedule
+    gumbel(fold_in(keys[b], t)). logp_sum is computed inline (non-diff
+    convenience for eval); training recomputes it via replay_logp_sum.
+    """
+    actor = TAPNetActor(cfg, hidden)
+    B = instances.dims.shape[0]
+    A = cfg.num_actions
+
+    states0 = jax.vmap(lambda i: E.reset(i, cfg))(instances)
+    static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)  # [B, T, F]
+    static_emb = actor.apply(actor_params, static,
+                             method=TAPNetActor.embed_static)      # [B, T, h]
+
+    def body(carry, t):
+        state, prev, logp_sum = carry
+        mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
+            state, instances)                                      # [B, A]
+        dynamic = jax.vmap(lambda i, s: dynamic_tokens(i, s, cfg))(
+            instances, state)                                      # [B, T, F]
+        hmg = heightmap_grid(state.heightmap, cfg)                 # [B,C,W,D,1]
+        logits = jax.vmap(
+            lambda se, dy, hg, pa: actor.apply(
+                actor_params, se, dy, hg, pa, method=TAPNetActor.head)
+        )(static_emb, dynamic, hmg, prev)                          # [B, A]
+        masked = _masked_logits(logits, mask, temperature)
+        if greedy:
+            a = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        else:
+            g = jax.vmap(lambda k: jax.random.gumbel(
+                jax.random.fold_in(k, t), (A,)))(keys)
+            a = jnp.argmax(masked + g, axis=-1).astype(jnp.int32)
+        valid = mask.any(axis=-1)
+        logp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
+                                   a[:, None], axis=-1)[:, 0]
+        logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
+        a = jnp.where(valid, a, -1)
+        rec = RolloutRecord(packed=state.packed, heightmap=state.heightmap,
+                            mask=mask, action=a)
+        state = jax.vmap(lambda s, aa, i: E.step(s, aa, i, cfg))(
+            state, a, instances)
+        return (state, a, logp_sum), rec
+
+    (states, _, logp_sum), record = jax.lax.scan(
+        body, (states0, jnp.full((B,), -1, jnp.int32), jnp.zeros(B)),
+        jnp.arange(cfg.num_blocks, dtype=jnp.int32))
+    return states, record, logp_sum
+
+
+def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
+                    cfg: TAPConfig, hidden: int = 128,
+                    temperature: float = 1.0):
+    """Differentiable sum_t log pi(a_t | s_t) recomputed in ONE parallel pass.
+
+    All N decode steps of all B instances batch into a single forward: the
+    gradient graph contains no scan, so the backward is pure batched GEMMs.
+    """
+    actor = TAPNetActor(cfg, hidden)
+    N = cfg.num_blocks
+
+    static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)  # [B, T, F]
+    static_emb = actor.apply(actor_params, static,
+                             method=TAPNetActor.embed_static)      # [B, T, h]
+
+    ts = jnp.arange(N, dtype=jnp.int32)
+    dynamic = jax.vmap(
+        lambda p_t, t: jax.vmap(
+            lambda i, p: dynamic_tokens_from(i, p, t, cfg))(instances, p_t)
+    )(record.packed, ts)                                       # [N, B, T, F]
+    hmg = heightmap_grid(record.heightmap, cfg)                # [N,B,C,W,D,1]
+    prev = jnp.concatenate([jnp.full((1,) + record.action.shape[1:], -1,
+                                     jnp.int32), record.action[:-1]], axis=0)
+
+    def head_one(se, dy, hg, pa):
+        return actor.apply(actor_params, se, dy, hg, pa,
+                           method=TAPNetActor.head)
+
+    # flatten [N, B] -> one batch; static_emb broadcasts over steps
+    B = static_emb.shape[0]
+    se_nb = jnp.broadcast_to(static_emb[None], (N,) + static_emb.shape)
+    flat = lambda x: x.reshape((N * B,) + x.shape[2:])
+    logits = jax.vmap(head_one)(flat(se_nb), flat(dynamic), flat(hmg),
+                                flat(prev))                    # [N*B, A]
+    masked = _masked_logits(logits, flat(record.mask), temperature)
+    a = flat(record.action)
+    logp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
+                               jnp.maximum(a, 0)[:, None], axis=-1)[:, 0]
+    logp = jnp.where(a >= 0, logp, 0.0).reshape(N, B)
+    return logp.sum(axis=0)                                    # [B]
+
+
+# ------------------------------------------------------------------ #
+# stable public API (eval / inference / tests)
+
 def policy_rollout(actor_params, instance: Instance, key, cfg: TAPConfig,
                    hidden: int = 128, greedy: bool = False,
                    temperature: float = 1.0, with_reward: bool = True):
-    """Roll one instance with the actor; returns (state, actions, R, logp_sum).
-
-    Sampling is Gumbel-argmax over masked logits (identical in law to
-    categorical sampling); logp_sum is differentiable w.r.t. actor params.
-    With with_reward=False, R is 0.0 and the caller computes rewards batched
-    (e.g. via the fused Pallas kernel in tapnet_tpu.ops).
-    """
-    actor = TAPNetActor(cfg, hidden)
-    state0 = E.reset(instance, cfg)
-
-    def body(carry, t):
-        state, logp_sum = carry
-        mask = E.action_mask(state, instance, cfg)
-        static, dynamic, hm = build_tokens(instance, state, cfg)
-        logits = actor.apply(actor_params, static, dynamic, hm)
-        masked = jnp.where(mask, logits / temperature, NEG)
-        if greedy:
-            a = jnp.argmax(masked).astype(jnp.int32)
-        else:
-            g = jax.random.gumbel(jax.random.fold_in(key, t),
-                                  (cfg.num_actions,))
-            a = jnp.argmax(masked + g).astype(jnp.int32)
-        valid = mask.any()
-        logp = jax.nn.log_softmax(masked)[a]
-        logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
-        a = jnp.where(valid, a, -1)
-        state = E.step(state, a, instance, cfg)
-        return (state, logp_sum), a
-
-    (state, logp_sum), actions = jax.lax.scan(
-        body, (state0, jnp.float32(0.0)),
-        jnp.arange(cfg.num_blocks, dtype=jnp.int32))
+    """Roll ONE instance with the actor; returns (state, actions, R, logp)."""
+    instances = jax.tree.map(lambda x: x[None], instance)
+    states, record, logp = rollout_batch_record(
+        actor_params, instances, key[None], cfg, hidden, greedy, temperature)
+    state = jax.tree.map(lambda x: x[0], states)
+    actions = record.action[:, 0]
     R = E.reward(state, instance, cfg) if with_reward else jnp.float32(0.0)
-    return state, actions, R, logp_sum
+    return state, actions, R, logp[0]
 
 
 @functools.partial(jax.jit,
@@ -67,7 +169,8 @@ def policy_rollout(actor_params, instance: Instance, key, cfg: TAPConfig,
 def policy_rollout_batch(actor_params, instances: Instance, keys,
                          cfg: TAPConfig, hidden: int = 128,
                          greedy: bool = False, temperature: float = 1.0):
-    return jax.vmap(
-        lambda i, k: policy_rollout(actor_params, i, k, cfg, hidden,
-                                    greedy, temperature)
-    )(instances, keys)
+    """Batched (states, actions [B, N], rewards [B], logp_sum [B])."""
+    states, record, logp = rollout_batch_record(
+        actor_params, instances, keys, cfg, hidden, greedy, temperature)
+    rewards = jax.vmap(lambda s, i: E.reward(s, i, cfg))(states, instances)
+    return states, record.action.T, rewards, logp

@@ -17,3 +17,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is jit-compile-bound (parity/fuzz
+# trace many TAPConfig points); caching compiled executables across runs cuts
+# repeat wall time by minutes. Safe to delete .jax_cache at any time.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

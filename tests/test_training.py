@@ -114,6 +114,7 @@ def test_rollout_actions_respect_masks():
             s = E.step(s, jnp.int32(int(a)), inst, cfg)
 
 
+@pytest.mark.slow
 def test_learning_improves_reward():
     """30 REINFORCE steps on 2d-basic must lift greedy validation reward."""
     cfg = CONFIGS["2d-basic"]
@@ -149,6 +150,7 @@ def test_train_step_from_dataset_file(tmp_path):
     assert np.isfinite(float(metrics["reward"]))
 
 
+@pytest.mark.slow
 def test_fault_injection_kill_and_resume(tmp_path):
     """SURVEY.md §5: SIGKILL the training PROCESS mid-run; restart; the
     resumed run's final checkpoint must equal the uninterrupted run's."""
