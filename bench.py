@@ -1,31 +1,75 @@
 """Headline benchmark: env-steps/s/chip, 2D TAP, batch 4096 (BASELINE.json).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} (plus a
+`train_env_steps_per_s` field for the learner-facing number — the
+policy-rollout REINFORCE train step measured on the same chip).
 
 vs_baseline compares against the reference's own mechanism — the per-instance
 Python step loop (BASELINE.json names it; our CPU oracle implements it
 exactly) — measured live on this host, since the empty reference mount has no
 published numbers (BASELINE.md).
+
+`python bench.py --detail` additionally writes BENCH_DETAIL.json with
+per-config rows (heuristic-fused / general-path / train-step env-steps/s) so
+every throughput number in the README has a committed reproduction.
 """
 
+import argparse
 import json
+import os
 import sys
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--detail", action="store_true",
+                        help="also write per-config BENCH_DETAIL.json")
+    args = parser.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from tapnet_tpu.config import CONFIGS
     from tapnet_tpu.benchmarks import (measure_env_steps_per_s,
-                                       measure_oracle_steps_per_s)
+                                       measure_oracle_steps_per_s,
+                                       measure_train_steps_per_s)
 
     cfg = CONFIGS["2d-basic"]
     value = measure_env_steps_per_s(cfg, batch=4096, iters=200)
+    train_value = measure_train_steps_per_s(cfg, batch=4096, iters=20)
     baseline = measure_oracle_steps_per_s(cfg)
     print(json.dumps({
         "metric": "env-steps/s/chip (2D TAP, batch 4096, full mask+policy+step rollout)",
         "value": round(value, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(value / baseline, 2),
+        "train_env_steps_per_s": round(train_value, 1),
     }))
+
+    if args.detail:
+        detail = {"host_oracle_steps_per_s": round(baseline, 1), "configs": {}}
+        for name, c in CONFIGS.items():
+            from tapnet_tpu.ops.pallas_env import eligible
+            row = {}
+            if eligible(c) and jax.default_backend() == "tpu":
+                row["heuristic_fused"] = round(
+                    measure_env_steps_per_s(c, batch=4096, iters=100,
+                                            fused=True), 1)
+            row["general_path"] = round(
+                measure_env_steps_per_s(c, batch=4096, iters=50,
+                                        fused=False), 1)
+            row["train_step"] = round(
+                measure_train_steps_per_s(c, batch=4096, iters=10), 1)
+            detail["configs"][name] = row
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
+        with open(out, "w") as f:
+            json.dump(detail, f, indent=2)
+            f.write("\n")
+        print(f"wrote {out}", file=sys.stderr)
     return 0
 
 

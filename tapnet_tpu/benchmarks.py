@@ -34,6 +34,28 @@ def measure_oracle_steps_per_s(cfg, n_instances: int = 8) -> float:
         return steps / (time.perf_counter() - t0)
 
 
+def measure_train_steps_per_s(cfg, batch: int = 4096, hidden: int = 128,
+                              iters: int = 10) -> float:
+    """Learned-policy REINFORCE train step: env-steps/s/chip.
+
+    This is the learner-facing number (BASELINE.json north star: env batches
+    "feeding a sharded learner"): one full sample->rollout->replay->grad->
+    Adam step per iteration, counted as batch * num_blocks env steps.
+    """
+    from tapnet_tpu.train.reinforce import init_train_state, make_train_step
+
+    ts = init_train_state(jax.random.key(0), cfg, hidden=hidden)
+    step = make_train_step(cfg, batch=batch, hidden=hidden)
+    ts, m = step(ts)
+    jax.block_until_ready(m)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, m = step(ts)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    return iters * batch * cfg.num_blocks / dt
+
+
 def measure_env_steps_per_s(cfg, batch: int, iters: int = 10,
                             fused: bool = None) -> float:
     """Batched rollouts on the default backend (TPU when present).

@@ -109,7 +109,8 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True)
     p.add_argument("--sequence", action="store_true",
-                   help="render the step-by-step packing sequence")
+                   help="render the step-by-step packing sequence (2D or 3D;"
+                        " a .gif output path produces an animation)")
 
     p = sub.add_parser("bench", help="env-steps/s benchmark")
     add_config_flags(p)
@@ -165,11 +166,14 @@ def main(argv=None) -> int:
     if args.task == "render":
         from tapnet_tpu.env import core as E
         from tapnet_tpu.env.sampler import sample_instance
-        from tapnet_tpu.utils.viz import render, render_sequence
+        from tapnet_tpu.utils.viz import (render, render_animation,
+                                          render_sequence)
         key = jax.random.key(args.seed)
         inst = sample_instance(key, cfg)
         state, actions, reward = E.rollout(inst, key, cfg, policy="random")
-        if args.sequence and cfg.dim == 2:
+        if args.sequence and args.out.endswith(".gif"):
+            out = render_animation(inst, actions, cfg, args.out)
+        elif args.sequence:
             out = render_sequence(inst, actions, cfg, args.out)
         else:
             out = render(inst, state, cfg, args.out,

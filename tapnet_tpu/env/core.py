@@ -410,7 +410,12 @@ def step(state: EnvState, action: jax.Array, instance: Instance,
 
     heightmap = jnp.where(do, state.heightmap.at[c].set(hm_new),
                           state.heightmap)
-    packed = jnp.where(do, state.packed.at[b].set(True), state.packed)
+    # NOTE: mask-compare update, NOT packed.at[b].set(True) — vmapped
+    # traced-index scatter on *bool* arrays miscompiles on the TPU backend
+    # (silently drops updates; verified on TPU v5e, jax 0.9/axon). int32
+    # scatters (heightmap/placements above) are unaffected.
+    sel_b = jnp.arange(state.packed.shape[0], dtype=jnp.int32) == b
+    packed = jnp.where(do, state.packed | sel_b, state.packed)
     row = jnp.stack([c, r, x, y, l, stable.astype(jnp.int32)])
     placements = jnp.where(do, state.placements.at[b].set(row),
                            state.placements)

@@ -41,7 +41,10 @@ def sample_instance(key, cfg: TAPConfig, flat=False) -> Instance:
     N = cfg.num_blocks
     flat = jnp.asarray(flat)
     axes_enabled = jnp.array([ax in cfg.split_axes for ax in range(3)])
-    axes_enabled = axes_enabled.at[1].set(axes_enabled[1] & ~flat)
+    # where-update, not .at[1].set: bool scatters miscompile on the TPU
+    # backend under vmap (see env/core.py step note)
+    axes_enabled = jnp.where(jnp.arange(3) == 1,
+                             axes_enabled & ~flat, axes_enabled)
 
     pos = jnp.zeros((N, 3), jnp.int32)
     depth0 = jnp.where(flat, 1, cfg.container_depth).astype(jnp.int32)

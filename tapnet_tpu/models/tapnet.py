@@ -38,13 +38,17 @@ class _TokenEncoder(nn.Module):
 
     hidden: int
     blocks: int = 2
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.static_proj = nn.Dense(self.hidden)
-        self.dynamic_proj = nn.Dense(self.hidden)
-        self.norms = [nn.LayerNorm() for _ in range(self.blocks)]
-        self.ff1 = [nn.Dense(self.hidden) for _ in range(self.blocks)]
-        self.ff2 = [nn.Dense(self.hidden) for _ in range(self.blocks)]
+        self.static_proj = nn.Dense(self.hidden, dtype=self.dtype)
+        self.dynamic_proj = nn.Dense(self.hidden, dtype=self.dtype)
+        self.norms = [nn.LayerNorm(dtype=self.dtype)
+                      for _ in range(self.blocks)]
+        self.ff1 = [nn.Dense(self.hidden, dtype=self.dtype)
+                    for _ in range(self.blocks)]
+        self.ff2 = [nn.Dense(self.hidden, dtype=self.dtype)
+                    for _ in range(self.blocks)]
 
     def embed_static(self, static):  # [..., T, F] -> [..., T, h]
         return self.static_proj(static)
@@ -70,20 +74,25 @@ class _HeightmapCNN(nn.Module):
 
     hidden: int
     features: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hm_grid):
         lead = hm_grid.shape[:-3]
-        x = hm_grid.reshape((-1,) + hm_grid.shape[-3:])   # [B*C, W, D, 1]
-        x = nn.relu(nn.Conv(self.features // 2, (3, 3), padding="SAME")(x))
-        x = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        x = hm_grid.astype(self.dtype)
+        x = x.reshape((-1,) + hm_grid.shape[-3:])         # [B*C, W, D, 1]
+        x = nn.relu(nn.Conv(self.features // 2, (3, 3), padding="SAME",
+                            dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME",
+                            dtype=self.dtype)(x))
+        flat = hm_grid.astype(self.dtype).reshape(x.shape[0], -1)
         pooled = jnp.concatenate([
             x.max(axis=(1, 2)),
             x.mean(axis=(1, 2)),
-            hm_grid.reshape(x.shape[0], -1).max(axis=1, keepdims=True),
-            hm_grid.reshape(x.shape[0], -1).mean(axis=1, keepdims=True),
+            flat.max(axis=1, keepdims=True),
+            flat.mean(axis=1, keepdims=True),
         ], axis=-1)
-        out = nn.Dense(self.hidden)(pooled)
+        out = nn.Dense(self.hidden, dtype=self.dtype)(pooled)
         return out.reshape(lead + (self.hidden,))         # [..., C, h]
 
 
@@ -92,14 +101,17 @@ class TAPNetActor(nn.Module):
 
     cfg: TAPConfig
     hidden: int = 128
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.token_enc = _TokenEncoder(self.hidden)
-        self.hm_enc = _HeightmapCNN(self.hidden)
+        self.token_enc = _TokenEncoder(self.hidden, dtype=self.dtype)
+        self.hm_enc = _HeightmapCNN(self.hidden, dtype=self.dtype)
         # decode history: embedding of the previous action; index 0 = "start"
-        self.prev_embed = nn.Embed(self.cfg.num_actions + 1, self.hidden)
-        self.query = nn.Dense(self.hidden)
-        self.key_proj = nn.Dense(self.hidden, use_bias=False)
+        self.prev_embed = nn.Embed(self.cfg.num_actions + 1, self.hidden,
+                                   dtype=self.dtype)
+        self.query = nn.Dense(self.hidden, dtype=self.dtype)
+        self.key_proj = nn.Dense(self.hidden, use_bias=False,
+                                 dtype=self.dtype)
         self.v = self.param("v", nn.initializers.lecun_normal(),
                             (self.hidden, 1))
 
@@ -114,7 +126,8 @@ class TAPNetActor(nn.Module):
         prev_action int32 scalar in [-1, A) (-1 / None = decode start).
         """
         cfg = self.cfg
-        tok = self.token_enc.finish(static_emb, dynamic)       # [T, h]
+        tok = self.token_enc.finish(static_emb.astype(self.dtype),
+                                    dynamic.astype(self.dtype))  # [T, h]
         hm = self.hm_enc(hm_grid)                              # [C, h]
 
         if prev_action is None:
@@ -133,9 +146,10 @@ class TAPNetActor(nn.Module):
         # additive attention: score[t, c] = v . tanh(W tok_t + q_c)
         wt = self.key_proj(tok)                                # [T, h]
         act = jnp.tanh(wt[:, None, :] + q[None, :, :])         # [T, C, h]
-        scores = (act @ self.v)[..., 0]                        # [T, C]
-        # [T, C] -> [N, R, C] -> flat [A]
-        return scores.reshape(cfg.num_actions)
+        scores = (act @ self.v.astype(self.dtype))[..., 0]     # [T, C]
+        # [T, C] -> [N, R, C] -> flat [A]; logits always fp32 (softmax /
+        # masking / sampling run in full precision regardless of dtype)
+        return scores.reshape(cfg.num_actions).astype(jnp.float32)
 
     def __call__(self, static, dynamic, hm_grid, prev_action=None):
         return self.head(self.embed_static(static), dynamic, hm_grid,
@@ -150,15 +164,19 @@ class TAPNetCritic(nn.Module):
 
     cfg: TAPConfig
     hidden: int = 128
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, static, dynamic, hm_grid):
-        tok = _TokenEncoder(self.hidden, name="token_enc")(static, dynamic)
-        hm = _HeightmapCNN(self.hidden, name="hm_enc")(hm_grid)
+        tok = _TokenEncoder(self.hidden, name="token_enc",
+                            dtype=self.dtype)(static.astype(self.dtype),
+                                              dynamic.astype(self.dtype))
+        hm = _HeightmapCNN(self.hidden, name="hm_enc",
+                           dtype=self.dtype)(hm_grid)
         x = jnp.concatenate([tok.mean(axis=0), hm.mean(axis=0)])
-        x = nn.relu(nn.Dense(self.hidden)(x))
-        x = nn.relu(nn.Dense(self.hidden)(x))
-        return nn.Dense(1)(x)[0]  # scalar
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        return nn.Dense(1, dtype=self.dtype)(x)[0].astype(jnp.float32)
 
 
 def init_params(key, cfg: TAPConfig, hidden: int = 128) -> dict[str, Any]:

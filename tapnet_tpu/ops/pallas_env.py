@@ -12,10 +12,12 @@ policy's threefry draws are precomputed outside (bits(fold_in(key_b, t))), so
 fused and unfused rollouts are exactly equal — tested per-field.
 
 Coverage: placement rule `lb`, unbounded target height, policies
-first/random; 2D (single container, incl. the rolling window) via `_kernel2d`
-with heightmaps on [W, lanes]; 3D (any rotation/containers/window) via
-`_kernel3d` with heightmaps on [W, D, lanes]. Finite-height configs fall back
-to the general path (their action mask needs a per-action candidate scan).
+first/random; 2D (any container count, incl. the rolling window) via
+`_kernel2d` with heightmaps on [C*W, lanes]; 3D (any rotation/containers/
+window) via `_kernel3d` with heightmaps on [W, D, lanes]. Finite-height
+configs fall back to the general path (their action mask needs a per-action
+candidate scan); `mcs` falls back too (exact-fraction limb tournament). Both
+fallbacks have measured rows in BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
@@ -35,9 +37,11 @@ BIG = 2**30  # python int: jnp constants would be captured consts in the kernel
 
 
 def eligible(cfg: TAPConfig) -> bool:
-    if cfg.placement_rule != "lb" or cfg.target_height != 0:
-        return False
-    return cfg.dim == 3 or cfg.num_containers == 1
+    """Monolithic-kernel coverage: lb rule, unbounded height (a finite cap
+    makes the action mask need per-action candidate scans), 2D and 3D, any
+    rotation/window/container count. mcs and finite-height configs use the
+    general jitted path (measured fallback rows in BENCH_DETAIL.json)."""
+    return cfg.placement_rule == "lb" and cfg.target_height == 0
 
 
 def _inclusive_prefix_sum(x: jax.Array) -> jax.Array:
@@ -80,7 +84,8 @@ def _kernel2d(cfg: TAPConfig):
     N = cfg.num_blocks
     W = cfg.target_width
     R = cfg.num_rot
-    A = N * R
+    C = cfg.num_containers
+    A = N * R * C
     hard = cfg.placement_variant == "hard"
 
     def kernel(dims_w_ref, dims_h_ref, up_ref, rot_ref, ntot_ref, rbits_ref,
@@ -100,7 +105,7 @@ def _kernel2d(cfg: TAPConfig):
 
         real = (iota_n < ntot).astype(jnp.int32)
         packed = 1 - real               # padding pre-packed
-        hm = jnp.zeros((W, TB), jnp.int32)
+        hms = [jnp.zeros((W, TB), jnp.int32) for _ in range(C)]
         actions = jnp.full((N, TB), -1, jnp.int32)
         plc = jnp.full((N, 6, TB), -1, jnp.int32)
 
@@ -112,25 +117,28 @@ def _kernel2d(cfg: TAPConfig):
             if R == 2:
                 blockedr = jnp.max(rot * unp[:, None, :], axis=0)
                 accr = obs * (1 - blockedr)
-                mask = jnp.stack(
-                    [obs * (dims_w <= W), accr * (dims_h <= W)],
-                    axis=1).reshape(A, TB)
+                mask_nr = jnp.stack(
+                    [obs * (dims_w <= W), accr * (dims_h <= W)], axis=1)
             else:
-                mask = obs * (dims_w <= W)
+                mask_nr = (obs * (dims_w <= W))[:, None, :]      # [N, 1, TB]
+            mask = jnp.broadcast_to(mask_nr[:, :, None, :],
+                                    (N, R, C, TB)).reshape(A, TB)
 
             onehot, valid = _select_onehot(mask, rbits[t])
 
-            if R == 2:
-                oh = onehot.reshape(N, R, TB)
-                ohb = oh[:, 0, :] + oh[:, 1, :]                  # [N, TB]
-                r_sel = jnp.sum(oh[:, 1, :], axis=0)             # [TB]
-            else:
-                ohb = onehot
-                r_sel = jnp.zeros((TB,), jnp.int32)
+            oh = onehot.reshape(N, R, C, TB)
+            ohb = jnp.sum(oh, axis=(1, 2))                       # [N, TB]
+            r_sel = (jnp.sum(oh[:, 1], axis=(0, 1)) if R == 2
+                     else jnp.zeros((TB,), jnp.int32))           # [TB]
+            ocs = [jnp.sum(oh[:, :, c], axis=(0, 1)) for c in range(C)]
             w_blk = jnp.sum(ohb * dims_w, axis=0)
             h_blk = jnp.sum(ohb * dims_h, axis=0)
             w_eff = jnp.where(r_sel == 1, h_blk, w_blk)          # [TB]
             h_eff = jnp.where(r_sel == 1, w_blk, h_blk)
+
+            hm = ocs[0][None, :] * hms[0]
+            for c in range(1, C):
+                hm = hm + ocs[c][None, :] * hms[c]
 
             # candidate scan: S[o, x, l] = hm[x + o, l] (0 beyond edge)
             hm_pad = jnp.concatenate([hm, jnp.zeros_like(hm)], axis=0)
@@ -163,7 +171,10 @@ def _kernel2d(cfg: TAPConfig):
 
             do = valid & any_valid                               # [TB]
             fp = (x_col >= x_star[None]) & (x_col < (x_star + w_eff)[None])
-            hm = jnp.where(fp & do[None], (l_star + h_eff)[None], hm)
+            for c in range(C):
+                sel_c = (ocs[c] == 1) & do
+                hms[c] = jnp.where(fp & sel_c[None],
+                                   (l_star + h_eff)[None], hms[c])
             packed = packed + ohb * do[None].astype(jnp.int32)
 
             a_idx = jnp.sum(onehot * iota_a, axis=0)
@@ -171,13 +182,15 @@ def _kernel2d(cfg: TAPConfig):
             actions = jnp.where(iota_n == t, jnp.where(do, a_idx, -1)[None],
                                 actions)
 
-            row = jnp.stack([jnp.zeros((TB,), jnp.int32), r_sel, x_star,
+            c_star = sum(c * ocs[c] for c in range(1, C)) if C > 1 \
+                else jnp.zeros((TB,), jnp.int32)
+            row = jnp.stack([c_star, r_sel, x_star,
                              jnp.zeros((TB,), jnp.int32), l_star, s_star],
                             axis=0)                              # [6, TB]
             write = (ohb[:, None, :] == 1) & do[None, None, :]
             plc = jnp.where(write, row[None], plc)
 
-        hm_ref[:] = hm
+        hm_ref[:] = jnp.concatenate(hms, axis=0)
         packed_ref[:] = packed
         act_ref[:] = actions
         place_ref[:] = plc.reshape(N * 6, TB)
@@ -402,16 +415,16 @@ def fused_rollout_batch(instances: Instance, keys, cfg: TAPConfig,
             grid=grid,
             in_specs=[bspec(N), bspec(N), bspec(N, N), bspec(N, N), bspec(1),
                       bspec(N)],
-            out_specs=(bspec(W), bspec(N), bspec(N), bspec(N * 6)),
+            out_specs=(bspec(C * W), bspec(N), bspec(N), bspec(N * 6)),
             out_shape=(
-                jax.ShapeDtypeStruct((W, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((C * W, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((N, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((N, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((N * 6, Bp), jnp.int32),
             ),
             interpret=interpret,
         )(dims_w, dims_h, up, rot, ntot, rbits_t)
-        heightmap = hm.T[:B].reshape(B, 1, W, 1)
+        heightmap = hm.reshape(C, W, Bp).transpose(2, 0, 1)[:B, :, :, None]
     else:
         dims_w = bpad(instances.dims[:, :, 0]).T
         dims_d = bpad(instances.dims[:, :, 1]).T

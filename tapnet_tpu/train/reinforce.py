@@ -47,20 +47,21 @@ def init_train_state(key, cfg: TAPConfig, hidden: int = 128,
 
 def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
                   temperature: float, use_pallas: bool, mesh=None,
-                  axis: str = "data"):
-    critic = TAPNetCritic(cfg, hidden)
+                  axis: str = "data", dtype=jnp.float32, step_kernel=None):
+    critic = TAPNetCritic(cfg, hidden, dtype=jnp.dtype(dtype).type)
 
     # 1. Rollout WITHOUT gradients (stop_gradient on params => XLA saves no
     #    scan residuals; the decode loop is pure inference + env stepping).
     states, record, _ = rollout_batch_record(
         jax.lax.stop_gradient(params["actor"]), instances, keys, cfg, hidden,
-        greedy=False, temperature=temperature)
+        greedy=False, temperature=temperature, dtype=dtype,
+        step_kernel=step_kernel, mesh=mesh, axis=axis)
     record = jax.lax.stop_gradient(record)
 
     # 2. Replay: differentiable log-probs of the recorded actions, all B*N
     #    decode steps in one batched forward (MXU-shaped backward).
     logp = replay_logp_sum(params["actor"], instances, record, cfg, hidden,
-                           temperature)
+                           temperature, dtype=dtype)
 
     def value(instance):
         s0 = E.reset(instance, cfg)
@@ -79,7 +80,8 @@ def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
             from jax.sharding import PartitionSpec as P
             f_terms = jax.shard_map(
                 batched_reward_terms, mesh=mesh,
-                in_specs=(P(axis), P(axis), P(axis)), out_specs=P(axis))
+                in_specs=(P(axis), P(axis), P(axis)), out_specs=P(axis),
+                check_vma=False)  # pallas_call outputs carry no vma info
         terms = f_terms(states.heightmap, states.placements, instances.dims)
     else:
         # jnp composition — bit-identical (parity-tested), partitions
@@ -101,7 +103,7 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
                     lr: float = 5e-4, clip: float = 2.0,
                     temperature: float = 1.0, critic_weight: float = 1.0,
                     mesh=None, axis: str = "data", use_pallas=None,
-                    from_dataset: bool = False):
+                    from_dataset: bool = False, compute_dtype=None):
     """Build the jitted train step: TrainState -> (TrainState, metrics).
 
     With `mesh`, the on-device-sampled instance batch and per-instance action
@@ -116,14 +118,23 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
     reference's file-dataset training flow) instead of the on-device sampler.
     """
     opt = make_optimizer(lr, clip)
+    # the execution platform is the mesh's devices when sharded, else the
+    # default backend (a CPU mesh can coexist with a TPU default backend)
+    on_tpu = (all(d.platform == "tpu" for d in mesh.devices.flat)
+              if mesh is not None else jax.default_backend() == "tpu")
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = on_tpu
+    if compute_dtype is None:
+        # bf16 GEMMs are MXU-native on TPU (params and logits stay fp32);
+        # CPU (tests, oracle parity work) keeps full fp32
+        compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     def loss_fn(params, instances, key_data):
         keys = jax.vmap(jax.random.wrap_key_data)(key_data)
         actor_loss, critic_loss, R, terms = _batch_losses(
             params, instances, keys, cfg, hidden, temperature, use_pallas,
-            mesh=mesh, axis=axis)
+            mesh=mesh, axis=axis, dtype=compute_dtype,
+            step_kernel=None if on_tpu else False)
         loss = actor_loss + critic_weight * critic_loss
         return loss, (actor_loss, critic_loss, R, terms)
 

@@ -54,15 +54,42 @@ def _masked_logits(logits, mask, temperature):
 
 def rollout_batch_record(actor_params, instances: Instance, keys,
                          cfg: TAPConfig, hidden: int = 128,
-                         greedy: bool = False, temperature: float = 1.0):
+                         greedy: bool = False, temperature: float = 1.0,
+                         dtype=jnp.float32, step_kernel=None,
+                         interpret: bool = False, mesh=None,
+                         axis: str = "data"):
     """Roll a batch with the actor; returns (states, RolloutRecord, logp_sum).
 
     Sampling is Gumbel-argmax over masked logits (identical in law to
     categorical sampling), with the exact per-instance threefry schedule
     gumbel(fold_in(keys[b], t)). logp_sum is computed inline (non-diff
     convenience for eval); training recomputes it via replay_logp_sum.
+
+    step_kernel: fuse everything between actor calls into one Pallas kernel
+    per decode step (ops.pallas_policy_step; bit-exact vs the general path).
+    None = auto: on TPU when the config is eligible and the (per-shard)
+    batch is a multiple of 128. Under `mesh` the kernel runs per-shard via
+    shard_map (the batch axis is embarrassingly parallel).
     """
-    actor = TAPNetActor(cfg, hidden)
+    from tapnet_tpu.ops import pallas_policy_step as PS
+
+    B = instances.dims.shape[0]
+    shard_B = B // mesh.shape[axis] if mesh is not None else B
+    if step_kernel is None:
+        step_kernel = (PS.eligible(cfg) and shard_B % PS.TB == 0
+                       and jax.default_backend() == "tpu")
+    if step_kernel:
+        return _rollout_record_stepfused(actor_params, instances, keys, cfg,
+                                         hidden, greedy, temperature, dtype,
+                                         interpret, mesh, axis)
+    return _rollout_record_general(actor_params, instances, keys, cfg,
+                                   hidden, greedy, temperature, dtype)
+
+
+def _rollout_record_general(actor_params, instances: Instance, keys,
+                            cfg: TAPConfig, hidden, greedy, temperature,
+                            dtype):
+    actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
     B = instances.dims.shape[0]
     A = cfg.num_actions
 
@@ -106,15 +133,105 @@ def rollout_batch_record(actor_params, instances: Instance, keys,
     return states, record, logp_sum
 
 
+def _rollout_record_stepfused(actor_params, instances: Instance, keys,
+                              cfg: TAPConfig, hidden, greedy, temperature,
+                              dtype, interpret, mesh=None, axis="data"):
+    """Kernel-path twin of _rollout_record_general: batch-last env state
+    carried through the scan; one ops.pallas_policy_step.select_step call
+    replaces the ~40 small select/scan/update ops per decode step."""
+    from tapnet_tpu.ops import pallas_policy_step as PS
+
+    if mesh is None:
+        select_step = functools.partial(PS.select_step, cfg=cfg,
+                                        interpret=interpret)
+    else:
+        # per-shard kernel launches; batch is the LAST axis of every operand
+        from jax.sharding import PartitionSpec as P
+        bl = lambda nd: P(*([None] * (nd - 1)), axis)
+        select_step = jax.shard_map(
+            functools.partial(PS.select_step, cfg=cfg, interpret=interpret),
+            mesh=mesh,
+            in_specs=(bl(2), bl(2), bl(2), bl(3), bl(2), bl(2), bl(2), bl(2)),
+            out_specs=(bl(2), bl(3), bl(2), bl(1)),
+            check_vma=False)
+
+    actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
+    B = instances.dims.shape[0]
+    A = cfg.num_actions
+    N, W, D, C = (cfg.num_blocks, cfg.target_width, cfg.target_depth,
+                  cfg.num_containers)
+
+    static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)
+    static_emb = actor.apply(actor_params, static,
+                             method=TAPNetActor.embed_static)
+
+    # batch-last instance constants / initial state
+    dims_w = instances.dims[:, :, 0].T.astype(jnp.int32)         # [N, B]
+    dims_d = instances.dims[:, :, 1].T.astype(jnp.int32)
+    dims_h = instances.dims[:, :, 2].T.astype(jnp.int32)
+    states0 = jax.vmap(lambda i: E.reset(i, cfg))(instances)
+    packed0 = states0.packed.T.astype(jnp.int32)                 # [N, B]
+    hm0 = jnp.zeros((C * W, D, B), jnp.int32)
+    plc0 = jnp.full((N * 6, B), -1, jnp.int32)
+
+    def body(carry, t):
+        packed_bl, hm_bl, plc_bl, prev, logp_sum = carry
+        packed_bm = packed_bl.T.astype(bool)                     # [B, N]
+        hm_bm = hm_bl.reshape(C, W, D, B).transpose(3, 0, 1, 2)  # [B,C,W,D]
+        state_bm = EnvState(heightmap=hm_bm, packed=packed_bm,
+                            placements=None, t=None)
+        mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
+            state_bm, instances)                                 # [B, A]
+        dynamic = jax.vmap(
+            lambda i, p: dynamic_tokens_from(i, p, t, cfg))(
+            instances, packed_bm)                                # [B, T, F]
+        hmg = heightmap_grid(hm_bm, cfg)
+        logits = jax.vmap(
+            lambda se, dy, hg, pa: actor.apply(
+                actor_params, se, dy, hg, pa, method=TAPNetActor.head)
+        )(static_emb, dynamic, hmg, prev)                        # [B, A]
+        masked = _masked_logits(logits, mask, temperature)
+        if greedy:
+            score = masked
+        else:
+            g = jax.vmap(lambda k: jax.random.gumbel(
+                jax.random.fold_in(k, t), (A,)))(keys)
+            score = masked + g
+
+        packed_n, hm_n, plc_n, a = select_step(
+            score.T, mask.T.astype(jnp.int32), packed_bl, hm_bl, plc_bl,
+            dims_w, dims_d, dims_h)
+
+        valid = a >= 0
+        logp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
+                                   jnp.maximum(a, 0)[:, None], axis=-1)[:, 0]
+        logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
+        rec = RolloutRecord(packed=packed_bm, heightmap=hm_bm,
+                            mask=mask, action=a)
+        return (packed_n, hm_n, plc_n, a, logp_sum), rec
+
+    (packed_f, hm_f, plc_f, _, logp_sum), record = jax.lax.scan(
+        body, (packed0, hm0, plc0, jnp.full((B,), -1, jnp.int32),
+               jnp.zeros(B)),
+        jnp.arange(N, dtype=jnp.int32))
+
+    states = EnvState(
+        heightmap=hm_f.reshape(C, W, D, B).transpose(3, 0, 1, 2),
+        packed=packed_f.T.astype(bool),
+        placements=plc_f.reshape(N, 6, B).transpose(2, 0, 1),
+        t=jnp.sum((record.action >= 0).astype(jnp.int32), axis=0))
+    return states, record, logp_sum
+
+
 def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
                     cfg: TAPConfig, hidden: int = 128,
-                    temperature: float = 1.0):
+                    temperature: float = 1.0, dtype=jnp.float32):
     """Differentiable sum_t log pi(a_t | s_t) recomputed in ONE parallel pass.
 
     All N decode steps of all B instances batch into a single forward: the
     gradient graph contains no scan, so the backward is pure batched GEMMs.
     """
-    actor = TAPNetActor(cfg, hidden)
+    actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
     N = cfg.num_blocks
 
     static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)  # [B, T, F]

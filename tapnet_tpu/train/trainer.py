@@ -20,6 +20,7 @@ from tapnet_tpu.train.metrics import MetricsLogger
 from tapnet_tpu.train.reinforce import (TrainState, init_train_state,
                                         make_train_step)
 from tapnet_tpu.train.rollout import policy_rollout_batch
+from tapnet_tpu.utils.profiling import StepsPerSecond, annotate, trace
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,6 +37,7 @@ class TrainLoopConfig:
     valid_seed: int = 10_000
     ckpt_dir: Optional[str] = None
     metrics_path: Optional[str] = None
+    trace_dir: Optional[str] = None   # capture a profiler trace of epoch 0
 
 
 def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
@@ -84,12 +86,31 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
     train_step = make_train_step(cfg, loop.batch, loop.hidden, loop.lr,
                                  loop.clip, loop.temperature, mesh=mesh)
     total = loop.epochs * loop.steps_per_epoch
+    sps = StepsPerSecond(loop.batch * cfg.num_blocks)
+    traced = False
     while int(ts.step) < total:
         epoch = int(ts.step) // loop.steps_per_epoch
-        for _ in range(loop.steps_per_epoch - int(ts.step) % loop.steps_per_epoch):
+        n_steps = loop.steps_per_epoch - int(ts.step) % loop.steps_per_epoch
+        ts, metrics = train_step(ts)  # first step pays compile; not counted
+        jax.block_until_ready(metrics)
+        if loop.trace_dir and not traced:
+            # committed perfetto trace of 3 steady-state steps (SURVEY.md §5)
+            traced = True
+            with trace(loop.trace_dir):
+                for _ in range(min(3, max(n_steps - 1, 1))):
+                    with annotate("train_step"):
+                        ts, metrics = train_step(ts)
+                jax.block_until_ready(metrics)
+            n_steps = loop.steps_per_epoch - int(ts.step) % loop.steps_per_epoch
+        sps.reset()
+        for _ in range(n_steps - 1):
             ts, metrics = train_step(ts)
-        logger.log(int(ts.step), metrics, epoch=epoch,
-                   **{k: v for k, v in evaluate(ts.params, cfg, loop).items()})
+        jax.block_until_ready(metrics)
+        sps.update(n_steps - 1)
+        with annotate("evaluate"):
+            valid = evaluate(ts.params, cfg, loop)
+        logger.log(int(ts.step), metrics, epoch=epoch, **sps.metrics(),
+                   **{k: v for k, v in valid.items()})
         if loop.ckpt_dir:
             ckpt.save_checkpoint(loop.ckpt_dir, ts)
     logger.close()

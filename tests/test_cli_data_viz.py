@@ -76,3 +76,38 @@ def test_cli_flag_config_construction():
     assert cfg.reward_terms == ("C", "P")
     assert cfg.placement_variant == "hard"
     assert cfg.min_blocks == 12
+
+
+def test_render_3d_blocks_and_gif(tmp_path):
+    """Reference-grade 3D viz: block-level voxel render + animated GIF."""
+    import jax
+    from tapnet_tpu.config import CONFIGS
+    from tapnet_tpu.env import core as E
+    from tapnet_tpu.env.sampler import sample_instance
+    from tapnet_tpu.utils.viz import render_3d_blocks, render_animation
+
+    cfg = CONFIGS["3d-basic"]
+    key = jax.random.key(2)
+    inst = sample_instance(key, cfg)
+    state, actions, _ = E.rollout(inst, key, cfg, policy="first")
+    png = render_3d_blocks(inst, state, cfg, str(tmp_path / "b.png"))
+    assert os.path.getsize(png) > 10_000
+    gif = render_animation(inst, actions, cfg, str(tmp_path / "seq.gif"))
+    assert os.path.getsize(gif) > 10_000
+    with open(gif, "rb") as f:
+        assert f.read(6) in (b"GIF87a", b"GIF89a")
+
+
+def test_render_sequence_3d(tmp_path):
+    import jax
+    from tapnet_tpu.config import CONFIGS
+    from tapnet_tpu.env import core as E
+    from tapnet_tpu.env.sampler import sample_instance
+    from tapnet_tpu.utils.viz import render_sequence
+
+    cfg = CONFIGS["3d-basic"]
+    key = jax.random.key(4)
+    inst = sample_instance(key, cfg)
+    _, actions, _ = E.rollout(inst, key, cfg, policy="first")
+    out = render_sequence(inst, actions, cfg, str(tmp_path / "seq3d.png"))
+    assert os.path.getsize(out) > 10_000

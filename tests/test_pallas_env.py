@@ -72,15 +72,23 @@ def test_fused_hard_variant_parity(dim):
     _assert_rollout_equal(cfg, B=24, policy="random", seed=7)
 
 
+def test_fused_2d_multi_container_parity():
+    cfg = TAPConfig(num_containers=2, container_height=20, allow_rot=True)
+    assert eligible(cfg)
+    _assert_rollout_equal(cfg, B=24, policy="random", seed=11)
+
+
 def test_eligibility_gate():
     # all five driver configs are fused-eligible
     for name in CONFIGS:
         assert eligible(CONFIGS[name]), name
+    # 2D multi-container is fused-eligible too (r2: kernel extended)
+    assert eligible(TAPConfig(num_containers=2, container_height=20))
     # finite target height needs the general path's per-action candidate scan
     capped = TAPConfig(target_height=12)
     assert not eligible(capped)
-    # 2D multi-container falls back to the general path
-    assert not eligible(TAPConfig(num_containers=2, container_height=20))
+    # mcs needs the exact-fraction limb tournament; general path only
+    assert not eligible(TAPConfig(reward_type="C+P-mcs-soft"))
     with pytest.raises(AssertionError):
         fused_rollout_batch(
             sample_batch(jax.random.key(0), 4, capped),

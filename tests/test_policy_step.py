@@ -1,0 +1,92 @@
+"""Parity: step-kernel policy rollouts == general-path policy rollouts.
+
+The fused per-decode-step select+place kernel (ops/pallas_policy_step.py)
+must reproduce the general jit/vmap rollout exactly — same actions, same env
+state, same replay record — for every eligible config (lb rule; finite and
+unbounded height; soft/hard; rotation; multi-container; rolling window).
+Runs the kernel in interpreter mode on the CPU test mesh.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from tapnet_tpu.config import CONFIGS, TAPConfig
+from tapnet_tpu.env.sampler import sample_batch
+from tapnet_tpu.models import init_params
+from tapnet_tpu.ops import pallas_policy_step as PS
+from tapnet_tpu.train.rollout import rollout_batch_record
+
+CASES = {
+    "2d-basic": CONFIGS["2d-basic"],
+    "2d-rot": CONFIGS["2d-rot"],
+    "3d-basic": CONFIGS["3d-basic"],
+    "multi-container": CONFIGS["multi-container"],
+    "2d-capped-hard": TAPConfig(allow_rot=True, target_height=12,
+                                reward_type="C+P+S-lb-hard"),
+    "2d-multicont": TAPConfig(dim=2, num_blocks=8, min_blocks=8,
+                              container_width=8, container_height=8,
+                              target_width=8, num_containers=2,
+                              allow_rot=True),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+@pytest.mark.parametrize("greedy", [False, True])
+def test_stepfused_rollout_matches_general(name, greedy):
+    cfg = CASES[name]
+    assert PS.eligible(cfg)
+    B = 128
+    key = jax.random.key(17)
+    params = init_params(key, cfg, hidden=32)["actor"]
+    instances = sample_batch(key, B, cfg)
+    keys = jax.random.split(key, B)
+
+    s_g, r_g, lp_g = jax.jit(
+        lambda p, i, k: rollout_batch_record(
+            p, i, k, cfg, 32, greedy=greedy, step_kernel=False))(
+        params, instances, keys)
+    s_f, r_f, lp_f = jax.jit(
+        lambda p, i, k: rollout_batch_record(
+            p, i, k, cfg, 32, greedy=greedy, step_kernel=True,
+            interpret=True))(params, instances, keys)
+
+    np.testing.assert_array_equal(np.asarray(r_g.action), np.asarray(r_f.action))
+    np.testing.assert_array_equal(np.asarray(r_g.packed), np.asarray(r_f.packed))
+    np.testing.assert_array_equal(np.asarray(r_g.heightmap),
+                                  np.asarray(r_f.heightmap))
+    np.testing.assert_array_equal(np.asarray(r_g.mask), np.asarray(r_f.mask))
+    for f in ("heightmap", "packed", "placements", "t"):
+        np.testing.assert_array_equal(np.asarray(getattr(s_g, f)),
+                                      np.asarray(getattr(s_f, f)), err_msg=f)
+    np.testing.assert_allclose(np.asarray(lp_g), np.asarray(lp_f),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_rolling_window_stepfused():
+    cfg = CONFIGS["2d-rolling"]
+    assert PS.eligible(cfg)
+    B = 128
+    key = jax.random.key(3)
+    params = init_params(key, cfg, hidden=32)["actor"]
+    instances = sample_batch(key, B, cfg)
+    keys = jax.random.split(key, B)
+    s_g, r_g, _ = jax.jit(
+        lambda p, i, k: rollout_batch_record(p, i, k, cfg, 32,
+                                             step_kernel=False))(
+        params, instances, keys)
+    s_f, r_f, _ = jax.jit(
+        lambda p, i, k: rollout_batch_record(p, i, k, cfg, 32,
+                                             step_kernel=True,
+                                             interpret=True))(
+        params, instances, keys)
+    np.testing.assert_array_equal(np.asarray(r_g.action), np.asarray(r_f.action))
+    np.testing.assert_array_equal(np.asarray(s_g.placements),
+                                  np.asarray(s_f.placements))
+    np.testing.assert_array_equal(np.asarray(s_g.heightmap),
+                                  np.asarray(s_f.heightmap))
+
+
+def test_mcs_not_eligible():
+    cfg = TAPConfig(reward_type="C+P-mcs-soft")
+    assert not PS.eligible(cfg)
