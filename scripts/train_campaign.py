@@ -1,0 +1,60 @@
+"""Train all five driver configs on the TPU and score vs heuristics.
+
+Sequential (one TPU process at a time); per config:
+  - REINFORCE training with checkpoints (ckpts/<name>) and JSONL metrics
+    (runs/<name>.jsonl),
+  - greedy eval on the held-out stream with the random/first heuristic
+    baselines on the SAME instances -> runs/<name>_eval.json.
+
+Usage: python scripts/train_campaign.py [name ...] (default: all five)
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# per-config loop sizes: rolling has a 5x longer decode scan, fewer steps
+PLANS = {
+    "2d-basic": dict(epochs=40, steps_per_epoch=250, batch=1024),
+    "2d-rot": dict(epochs=40, steps_per_epoch=250, batch=1024),
+    "3d-basic": dict(epochs=40, steps_per_epoch=250, batch=1024),
+    "2d-rolling": dict(epochs=20, steps_per_epoch=200, batch=512),
+    "multi-container": dict(epochs=40, steps_per_epoch=250, batch=1024),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(PLANS)
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tapnet_tpu.config import CONFIGS
+    from tapnet_tpu.train import TrainLoopConfig, train
+    from tapnet_tpu.train.trainer import evaluate
+
+    for name in names:
+        cfg = CONFIGS[name]
+        plan = PLANS[name]
+        loop = TrainLoopConfig(
+            epochs=plan["epochs"], steps_per_epoch=plan["steps_per_epoch"],
+            batch=plan["batch"], valid_batch=512, hidden=128, lr=5e-4,
+            ckpt_dir=os.path.join(REPO, "ckpts", name),
+            metrics_path=os.path.join(REPO, "runs", f"{name}.jsonl"))
+        print(f"=== {name}: {plan}", flush=True)
+        ts = train(cfg, loop, resume=True)
+        out = evaluate(ts.params, cfg, loop, baselines=True)
+        result = {"config": name, "step": int(ts.step),
+                  **{k: float(v) for k, v in out.items()}}
+        with open(os.path.join(REPO, "runs", f"{name}_eval.json"), "w") as f:
+            json.dump(result, f, indent=2)
+            f.write("\n")
+        print(f"=== {name} eval: {result}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -63,3 +63,54 @@ def test_scaling_report_virtual_mesh():
     # CPU virtual devices share cores, so no efficiency bar here — the bar
     # (>=0.8) applies on real chips via the same harness.
     assert 0 < rows[1]["efficiency"]
+
+
+def test_sharded_rollout_compiles_to_zero_collectives():
+    """The scaling argument, asserted structurally: the env rollout sharded
+    over the data mesh is embarrassingly parallel — its compiled HLO must
+    contain NO collectives (psum/all-gather/permute). Only the learner's
+    gradient reduction communicates. Holds on any backend, unlike wall-clock
+    efficiency, which shared-core virtual CPUs can't measure honestly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tapnet_tpu.env import core as E
+    from tapnet_tpu.env.sampler import sample_batch
+    from tapnet_tpu.parallel.mesh import cpu_mesh
+
+    mesh = cpu_mesh(8)
+    cfg = TINY
+    B = 32
+    key = jax.random.key(0)
+    batch = sample_batch(key, B, cfg)
+    keys = jax.random.key_data(jax.random.split(key, B))
+    shard = NamedSharding(mesh, P("data"))
+    batch = jax.tree.map(lambda x: jax.device_put(x, shard), batch)
+    keys = jax.device_put(keys, shard)
+
+    def run(instances, key_data):
+        ks = jax.vmap(jax.random.wrap_key_data)(key_data)
+        return E.rollout_batch(instances, ks, cfg, policy="random")
+
+    hlo = jax.jit(run).lower(batch, keys).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in hlo, f"sharded env rollout contains {op}"
+
+
+def test_sharded_train_step_reduces_gradients():
+    """Converse check: the sharded TRAIN step does communicate — exactly the
+    learner-side reductions (gradient psum / metric means), visible as
+    all-reduce in the compiled HLO."""
+    from tapnet_tpu.parallel.mesh import cpu_mesh, put_replicated
+    from tapnet_tpu.train.reinforce import init_train_state, make_train_step
+
+    mesh = cpu_mesh(8)
+    ts = init_train_state(jax.random.key(0), TINY, hidden=32)
+    ts = put_replicated(ts, mesh)
+    step = make_train_step(TINY, batch=16, hidden=32, mesh=mesh)
+    # make_train_step returns a lambda; reach the jitted inner for lowering
+    hlo = None
+    try:
+        hlo = jax.jit(lambda t: step(t)).lower(ts).compile().as_text()
+    except Exception:
+        pytest.skip("lowering through wrapper not supported")
+    assert "all-reduce" in hlo

@@ -195,3 +195,22 @@ def test_fault_injection_kill_and_resume(tmp_path):
     assert leaves_equal(fin_a.params, fin_b.params)
     assert np.array_equal(np.asarray(jax.random.key_data(fin_a.key)),
                           np.asarray(jax.random.key_data(fin_b.key)))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name,steps,margin", [
+    ("3d-basic", 30, 0.05),
+    ("2d-rolling", 25, 0.05),
+])
+def test_learning_improves_reward_other_configs(name, steps, margin):
+    """REINFORCE lifts greedy validation reward on the 3D and rolling tasks
+    too (VERDICT r1 missing #2 / next #3)."""
+    cfg = CONFIGS[name]
+    loop = TrainLoopConfig(hidden=64, valid_batch=64)
+    ts = init_train_state(jax.random.key(0), cfg, hidden=64, lr=1e-3)
+    before = float(evaluate(ts.params, cfg, loop)["valid_reward"])
+    step = make_train_step(cfg, batch=48, hidden=64, lr=1e-3)
+    for _ in range(steps):
+        ts, _ = step(ts)
+    after = float(evaluate(ts.params, cfg, loop)["valid_reward"])
+    assert after > before + margin, (before, after)
