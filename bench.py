@@ -24,6 +24,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--detail", action="store_true",
                         help="also write per-config BENCH_DETAIL.json")
+    parser.add_argument("--configs", default=None,
+                        help="comma-separated config subset for --detail "
+                             "(merges into an existing BENCH_DETAIL.json)")
+    parser.add_argument("--skip-headline", action="store_true",
+                        help="with --detail: skip the headline measurement")
     args = parser.parse_args()
 
     import jax
@@ -38,37 +43,51 @@ def main():
                                        measure_train_steps_per_s)
 
     cfg = CONFIGS["2d-basic"]
-    value = measure_env_steps_per_s(cfg, batch=4096, iters=200)
-    train_value = measure_train_steps_per_s(cfg, batch=4096, iters=20)
     baseline = measure_oracle_steps_per_s(cfg)
-    print(json.dumps({
-        "metric": "env-steps/s/chip (2D TAP, batch 4096, full mask+policy+step rollout)",
-        "value": round(value, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(value / baseline, 2),
-        "train_env_steps_per_s": round(train_value, 1),
-    }))
+    if not (args.detail and args.skip_headline):
+        value = measure_env_steps_per_s(cfg, batch=4096, iters=200)
+        train_value = measure_train_steps_per_s(cfg, batch=4096, iters=20)
+        print(json.dumps({
+            "metric": "env-steps/s/chip (2D TAP, batch 4096, full mask+policy+step rollout)",
+            "value": round(value, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(value / baseline, 2),
+            "train_env_steps_per_s": round(train_value, 1),
+        }))
 
     if args.detail:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
         detail = {"host_oracle_steps_per_s": round(baseline, 1), "configs": {}}
+        if args.configs and os.path.exists(out):
+            with open(out) as f:
+                detail = json.load(f)
+            detail["host_oracle_steps_per_s"] = round(baseline, 1)
+        subset = (set(args.configs.split(",")) if args.configs
+                  else set(CONFIGS))
+        def flush():
+            with open(out, "w") as f:
+                json.dump(detail, f, indent=2)
+                f.write("\n")
+
         for name, c in CONFIGS.items():
+            if name not in subset:
+                continue
             from tapnet_tpu.ops.pallas_env import eligible
-            row = {}
+            row = detail["configs"].setdefault(name, {})
             if eligible(c) and jax.default_backend() == "tpu":
                 row["heuristic_fused"] = round(
                     measure_env_steps_per_s(c, batch=4096, iters=100,
                                             fused=True), 1)
+                flush()
             row["general_path"] = round(
                 measure_env_steps_per_s(c, batch=4096, iters=50,
                                         fused=False), 1)
+            flush()
             row["train_step"] = round(
                 measure_train_steps_per_s(c, batch=4096, iters=10), 1)
-            detail["configs"][name] = row
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json")
-        with open(out, "w") as f:
-            json.dump(detail, f, indent=2)
-            f.write("\n")
+            flush()
+            print(f"{name}: {row}", file=sys.stderr)
         print(f"wrote {out}", file=sys.stderr)
     return 0
 

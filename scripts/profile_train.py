@@ -1,0 +1,174 @@
+"""Per-phase breakdown of the REINFORCE train step + committed profiler trace.
+
+VERDICT r1 item 9: wire profiling into training and justify the train-step
+optimization targets with data. This script times each phase of the fused
+train step in isolation (device time, block_until_ready) and captures a
+jax.profiler trace of steady-state full steps with named sample/rollout/
+replay/learn annotations.
+
+Usage:  python scripts/profile_train.py [--config 2d-basic] [--batch 4096]
+            [--trace-dir runs/trace] [--out PROFILE.md]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, *args, iters=20, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="2d-basic")
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--trace-dir", default=None)
+    p.add_argument("--out", default=None, help="write markdown report here")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_tpu" if jax.default_backend() == "tpu" else ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tapnet_tpu.config import CONFIGS
+    from tapnet_tpu.env.sampler import sample_instance
+    from tapnet_tpu.models.features import build_tokens
+    from tapnet_tpu.models.tapnet import TAPNetCritic
+    from tapnet_tpu.env import core as E
+    from tapnet_tpu.train.reinforce import init_train_state, make_train_step
+    from tapnet_tpu.train.rollout import rollout_batch_record, replay_logp_sum
+
+    cfg = CONFIGS[args.config]
+    B, hidden = args.batch, args.hidden
+    key = jax.random.key(0)
+    ts = init_train_state(key, cfg, hidden)
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    # --- phase 1: on-device instance sampling -------------------------------
+    @jax.jit
+    def phase_sample(key):
+        ks = jax.random.split(key, B)
+        return jax.vmap(lambda k: sample_instance(k, cfg))(ks)
+
+    instances = phase_sample(key)
+    t_sample = timed(phase_sample, key)
+
+    # --- phase 2: policy rollout (no grad) ----------------------------------
+    act_keys = jax.random.split(jax.random.key(1), B)
+
+    @jax.jit
+    def phase_rollout(params, instances, keys):
+        return rollout_batch_record(params["actor"], instances, keys, cfg,
+                                    hidden, dtype=dtype,
+                                    step_kernel=None if on_tpu else False)
+
+    states, record, _ = phase_rollout(ts.params, instances, act_keys)
+    t_rollout = timed(phase_rollout, ts.params, instances, act_keys)
+
+    # --- phase 3: replay forward+backward (the differentiated pass) ---------
+    @jax.jit
+    def phase_replay_grad(params, instances, record):
+        def loss(p):
+            return replay_logp_sum(p["actor"], instances, record, cfg, hidden,
+                                   dtype=dtype).mean()
+        return jax.grad(loss)(params)
+
+    t_replay = timed(phase_replay_grad, ts.params, instances, record)
+
+    # --- phase 4: critic forward+backward -----------------------------------
+    @jax.jit
+    def phase_critic_grad(params, instances):
+        critic = TAPNetCritic(cfg, hidden, dtype=jnp.dtype(dtype).type)
+
+        def loss(p):
+            def value(instance):
+                s0 = E.reset(instance, cfg)
+                st, dy, hm = build_tokens(instance, s0, cfg)
+                return critic.apply(p["critic"], st, dy, hm)
+            return (jax.vmap(value)(instances) ** 2).mean()
+        return jax.grad(loss)(params)
+
+    t_critic = timed(phase_critic_grad, ts.params, instances)
+
+    # --- phase 5: reward terms ----------------------------------------------
+    @jax.jit
+    def phase_reward(states, instances):
+        return jax.vmap(lambda s, i: E.reward_terms(s, i, cfg))(
+            states, instances)
+
+    t_reward = timed(phase_reward, states, instances)
+
+    # --- full fused step -----------------------------------------------------
+    step = make_train_step(cfg, B, hidden)
+    ts2, _ = step(ts)
+    t_full = timed(step, ts2, iters=10)
+
+    env_steps = B * cfg.num_blocks
+    phases = {
+        "sample": t_sample, "rollout": t_rollout,
+        "replay_grad": t_replay, "critic_grad": t_critic,
+        "reward": t_reward,
+    }
+    report = {
+        "config": args.config, "batch": B, "hidden": hidden,
+        "backend": jax.default_backend(),
+        "full_step_ms": round(t_full, 2),
+        "train_env_steps_per_s": round(env_steps / (t_full / 1e3), 1),
+        "phases_ms": {k: round(v, 2) for k, v in phases.items()},
+        "phases_sum_ms": round(sum(phases.values()), 2),
+    }
+    print(json.dumps(report, indent=2))
+
+    if args.trace_dir:
+        os.makedirs(args.trace_dir, exist_ok=True)
+        with jax.profiler.trace(args.trace_dir):
+            for _ in range(3):
+                with jax.profiler.TraceAnnotation("train_step"):
+                    ts2, m = step(ts2)
+            jax.block_until_ready(m)
+        print(f"trace written to {args.trace_dir}", file=sys.stderr)
+
+    if args.out:
+        total = sum(phases.values())
+        lines = [
+            "# Train-step profile — `%s` (batch %d, hidden %d, %s)" % (
+                args.config, B, hidden, jax.default_backend()),
+            "",
+            "Full fused step: **%.2f ms** = **%s env-steps/s/chip**." % (
+                t_full, f"{env_steps / (t_full / 1e3):,.0f}"),
+            "",
+            "Isolated phases (each jitted + measured separately; the fused",
+            "step overlaps/fuses some of them, so the sum ≠ the fused time):",
+            "",
+            "| Phase | ms | % of phase sum |",
+            "|---|---|---|",
+        ]
+        for k, v in sorted(phases.items(), key=lambda kv: -kv[1]):
+            lines.append("| %s | %.2f | %.0f%% |" % (k, v, 100 * v / total))
+        lines += ["| *sum* | %.2f | |" % total, ""]
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines))
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -185,6 +185,10 @@ class OracleEnv:
         (per `action_mask`); an all-false mask means the rollout no-ops."""
         cfg = self.cfg
         b, r, c = cfg.decompose_action(int(action))
+        assert b < int(self.inst.n_total) and not self.state.packed[b], \
+            "step() called on a packed/padded block"
+        assert self.in_window(b) and self.accessible(b, r), \
+            "step() called on an inaccessible (masked) block"
         w, d, h = self.rotated_dims(b, r)
         best = self._best_candidate(c, w, d, h)
         assert best is not None, "step() called with an unplaceable action"
