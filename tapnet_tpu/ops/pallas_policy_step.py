@@ -15,11 +15,12 @@ tensor the general path feeds jnp.argmax, the kernel reproduces
 max + lowest-index tie-break identical to argmax). Parity-tested per-field
 against the general path in tests/test_policy_step.py.
 
-Coverage: placement rule `lb` (soft/hard), any target_height, any
-num_containers, 2D and 3D, rotation — the action mask is computed OUTSIDE
-(XLA) where finite-height candidate scans already exist, so this kernel has
-no mask-eligibility restrictions; only `mcs` scoring falls back to the
-general path (see `eligible`).
+Coverage: BOTH placement rules — `lb` (soft/hard) and `mcs` (the exact
+integer-fraction scored placement, SPEC.md §6.4, via the same u32-limb
+u64/u128 arithmetic as env.core run on the VPU) — any target_height, any
+num_containers, 2D and 3D, rotation. The action mask is computed OUTSIDE
+(XLA) where finite-height candidate scans already exist, so `eligible` is
+unconditional: no config falls back to the general path.
 """
 
 from __future__ import annotations
@@ -32,14 +33,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tapnet_tpu.config import TAPConfig
+from tapnet_tpu.env.core import (_mcs_score_fraction, _u128_gt_eq,
+                                 _u64_mul_u64)
 
 TB = 128     # batch tile = lane count
 BIG = 2**30  # python int (jnp constants would become captured kernel consts)
 
 
 def eligible(cfg: TAPConfig) -> bool:
-    """mcs placement needs the u64-limb exact-score tournament; lb only."""
-    return cfg.placement_rule == "lb"
+    """Every config: lb and mcs, soft/hard, capped/unbounded, 2D/3D."""
+    return True
 
 
 def _kernel(cfg: TAPConfig):
@@ -50,6 +53,7 @@ def _kernel(cfg: TAPConfig):
     C = cfg.num_containers
     A = N * R * C
     hard = cfg.placement_variant == "hard"
+    mcs = cfg.placement_rule == "mcs"
     cap = cfg.height_cap
     two_d = cfg.dim == 2  # D == 1; rotation swaps (w, h), not (w, d)
 
@@ -154,20 +158,99 @@ def _kernel(cfg: TAPConfig):
         validx = (x_i <= W - w_eff[None, None, :]) & in_range_y & \
                  (landing + h_eff[None, None, :] <= cap)
         keyv = (landing * W + x_i) * D + y_i
-        key_soft = jnp.where(validx, keyv, BIG)
-        if hard:
-            key_hard = jnp.where(validx & stable, keyv, BIG)
-            use_hard = jnp.min(key_hard, axis=(0, 1)) < BIG
-            key_used = jnp.where(use_hard[None, None, :], key_hard, key_soft)
+        if mcs:
+            # --- exact-score placement (env.core choose_placement, mcs):
+            # global reward aggregates of the pre-step state, per-candidate
+            # deltas, u64 fraction per candidate, u128 cross-multiply
+            # tournament by (class, score, -lb key). All u32-limb VPU ops.
+            area = W * D
+            plc3 = plc.reshape(N, 6, TB)
+            placed = plc3[:, 0] >= 0                             # [N, TB]
+            vol0 = jnp.sum(jnp.where(placed, dims_w * dims_d * dims_h, 0),
+                           axis=0)                               # [TB]
+            denc0 = area * sum(jnp.max(hms[c], axis=(0, 1)) for c in range(C))
+            denp0 = sum(jnp.sum(hms[c], axis=(0, 1)) for c in range(C))
+            snum0 = jnp.sum(jnp.where(placed, plc3[:, 5], 0), axis=0)
+            sden0 = jnp.sum(placed.astype(jnp.int32), axis=0)
+
+            top_c = landing + h_eff[None, None, :]               # [W, D, TB]
+            cur_maxh = jnp.max(hm, axis=(0, 1))                  # [TB]
+            new_maxh = jnp.maximum(cur_maxh[None, None, :], top_c)
+            if D == 1:
+                rowsum = hm
+            else:
+                Sy2 = stack_y(hm, 0)
+                rowsum = jnp.sum(jnp.where(oy4 < de, Sy2, 0), axis=0)
+            Sx2 = stack_x(rowsum, 0)
+            fpsum = jnp.sum(jnp.where(in_x, Sx2, 0), axis=0)     # [W, D, TB]
+
+            bc = lambda v: jnp.broadcast_to(v[None, None, :], (W, D, TB))
+            dc_p = bc(denc0) + area * (new_maxh - bc(cur_maxh))
+            dp_p = bc(denp0) + bc(w_eff * d_eff) * top_c - fpsum
+            vol_p = bc(vol0 + w_eff * d_eff * h_eff)
+            sn_p = bc(snum0) + stable.astype(jnp.int32)
+            sd_p = bc(sden0) + 1
+            n64, d64 = _mcs_score_fraction(cfg, vol_p, dc_p, dp_p, sn_p,
+                                           sd_p)
+
+            cls = validx.astype(jnp.int32)
+            if hard:
+                cls = cls + (validx & stable).astype(jnp.int32)
+            n64 = tuple(jnp.where(validx, t, 0).astype(jnp.uint32)
+                        for t in n64)
+            d64 = tuple(jnp.where(validx, t, 0).astype(jnp.uint32)
+                        for t in d64)
+            M = W * D
+            flatc = lambda t: t.reshape(M, TB)
+            fields = [flatc(cls), flatc(keyv), flatc(n64[0]), flatc(n64[1]),
+                      flatc(d64[0]), flatc(d64[1])]
+            p2 = 1
+            while p2 < M:
+                p2 *= 2
+            if p2 > M:
+                pad = p2 - M
+                fields = [jnp.concatenate(
+                    [f, jnp.zeros((pad, TB), f.dtype)], axis=0)
+                    for f in fields]
+                fields[1] = jnp.concatenate(
+                    [flatc(keyv), jnp.full((pad, TB), BIG, jnp.int32)],
+                    axis=0)  # padded lb keys lose ties
+            while p2 > 1:
+                half = p2 // 2
+                af = [f[:half] for f in fields]
+                bf = [f[half:p2] for f in fields]
+                pa = _u64_mul_u64((af[2], af[3]), (bf[4], bf[5]))
+                pb = _u64_mul_u64((bf[2], bf[3]), (af[4], af[5]))
+                gt, eq = _u128_gt_eq(pa, pb)
+                take_a = (af[0] > bf[0]) | (
+                    (af[0] == bf[0]) & (gt | (eq & (af[1] <= bf[1]))))
+                fields = [jnp.where(take_a, fa, fb)
+                          for fa, fb in zip(af, bf)]
+                p2 = half
+            win_key = fields[1][0]                               # [TB]
+            y_star = win_key % D
+            x_star = (win_key // D) % W
+            any_valid = jnp.max(validx.astype(jnp.int32), axis=(0, 1)) > 0
+            win = ((x_i == x_star[None, None, :]) &
+                   (y_i == y_star[None, None, :])).astype(jnp.int32)
+            l_star = jnp.sum(win * landing, axis=(0, 1))
+            s_star = jnp.sum(win * stable.astype(jnp.int32), axis=(0, 1))
         else:
-            key_used = key_soft
-        kmin = jnp.min(key_used, axis=(0, 1))                    # [TB]
-        any_valid = kmin < BIG
-        win = (key_used == kmin[None, None, :]).astype(jnp.int32)
-        x_star = jnp.sum(win * x_i, axis=(0, 1))
-        y_star = jnp.sum(win * y_i, axis=(0, 1))
-        l_star = jnp.sum(win * landing, axis=(0, 1))
-        s_star = jnp.sum(win * stable.astype(jnp.int32), axis=(0, 1))
+            key_soft = jnp.where(validx, keyv, BIG)
+            if hard:
+                key_hard = jnp.where(validx & stable, keyv, BIG)
+                use_hard = jnp.min(key_hard, axis=(0, 1)) < BIG
+                key_used = jnp.where(use_hard[None, None, :], key_hard,
+                                     key_soft)
+            else:
+                key_used = key_soft
+            kmin = jnp.min(key_used, axis=(0, 1))                # [TB]
+            any_valid = kmin < BIG
+            win = (key_used == kmin[None, None, :]).astype(jnp.int32)
+            x_star = jnp.sum(win * x_i, axis=(0, 1))
+            y_star = jnp.sum(win * y_i, axis=(0, 1))
+            l_star = jnp.sum(win * landing, axis=(0, 1))
+            s_star = jnp.sum(win * stable.astype(jnp.int32), axis=(0, 1))
 
         do = valid & any_valid                                   # [TB]
 
