@@ -41,7 +41,8 @@ def measure_train_steps_per_s(cfg, batch: int = 4096, hidden: int = 128,
     This is the learner-facing number (BASELINE.json north star: env batches
     "feeding a sharded learner"): one full sample->rollout->replay->grad->
     Adam step per iteration, counted as batch * num_blocks env steps.
-    """
+    Any batch fits: the replay pass auto-chunks the decode-step axis with
+    rematerialization (train.rollout.replay_logp_sum)."""
     from tapnet_tpu.train.reinforce import init_train_state, make_train_step
 
     ts = init_train_state(jax.random.key(0), cfg, hidden=hidden)

@@ -225,25 +225,34 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
 
 def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
                     cfg: TAPConfig, hidden: int = 128,
-                    temperature: float = 1.0, dtype=jnp.float32):
-    """Differentiable sum_t log pi(a_t | s_t) recomputed in ONE parallel pass.
+                    temperature: float = 1.0, dtype=jnp.float32,
+                    chunk: int = 0):
+    """Differentiable sum_t log pi(a_t | s_t) recomputed in parallel.
 
-    All N decode steps of all B instances batch into a single forward: the
-    gradient graph contains no scan, so the backward is pure batched GEMMs.
+    All N decode steps of all B instances batch into MXU-shaped forwards:
+    the gradient graph contains no per-decode-step recurrence.
+
+    chunk: process the decode-step axis in rematerialized chunks of this
+    many steps (0 = auto: keep ≤ ~40960 decode rows live at once). The
+    replay activations are O(chunk*B*T*hidden); without chunking a 50-block
+    rolling config at batch 4096 materializes ~5 GB of bf16 activations and
+    OOMs a 16 GB chip. jax.checkpoint recomputes each chunk's forward in
+    the backward pass, so peak memory is one chunk instead of N steps.
     """
     actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
     N = cfg.num_blocks
+    B = record.action.shape[1]
+    if chunk <= 0:
+        chunk = max(1, min(N, 40960 // max(B, 1)))
+    # chunk must divide N for a clean scan; shrink to the largest divisor
+    while N % chunk:
+        chunk -= 1
 
     static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)  # [B, T, F]
     static_emb = actor.apply(actor_params, static,
                              method=TAPNetActor.embed_static)      # [B, T, h]
 
     ts = jnp.arange(N, dtype=jnp.int32)
-    dynamic = jax.vmap(
-        lambda p_t, t: jax.vmap(
-            lambda i, p: dynamic_tokens_from(i, p, t, cfg))(instances, p_t)
-    )(record.packed, ts)                                       # [N, B, T, F]
-    hmg = heightmap_grid(record.heightmap, cfg)                # [N,B,C,W,D,1]
     prev = jnp.concatenate([jnp.full((1,) + record.action.shape[1:], -1,
                                      jnp.int32), record.action[:-1]], axis=0)
 
@@ -251,18 +260,40 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
         return actor.apply(actor_params, se, dy, hg, pa,
                            method=TAPNetActor.head)
 
-    # flatten [N, B] -> one batch; static_emb broadcasts over steps
-    B = static_emb.shape[0]
-    se_nb = jnp.broadcast_to(static_emb[None], (N,) + static_emb.shape)
-    flat = lambda x: x.reshape((N * B,) + x.shape[2:])
-    logits = jax.vmap(head_one)(flat(se_nb), flat(dynamic), flat(hmg),
-                                flat(prev))                    # [N*B, A]
-    masked = _masked_logits(logits, flat(record.mask), temperature)
-    a = flat(record.action)
-    logp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
-                               jnp.maximum(a, 0)[:, None], axis=-1)[:, 0]
-    logp = jnp.where(a >= 0, logp, 0.0).reshape(N, B)
-    return logp.sum(axis=0)                                    # [B]
+    def logp_steps(se_emb, packed_c, hm_c, mask_c, act_c, prev_c, ts_c):
+        """logp for a [K, B, ...] slab of decode steps; returns [K, B]."""
+        K = ts_c.shape[0]
+        dynamic = jax.vmap(
+            lambda p_t, t: jax.vmap(
+                lambda i, p: dynamic_tokens_from(i, p, t, cfg))(
+                instances, p_t))(packed_c, ts_c)              # [K, B, T, F]
+        hmg = heightmap_grid(hm_c, cfg)                       # [K,B,C,W,D,1]
+        se_nb = jnp.broadcast_to(se_emb[None], (K,) + se_emb.shape)
+        flat = lambda x: x.reshape((K * B,) + x.shape[2:])
+        logits = jax.vmap(head_one)(flat(se_nb), flat(dynamic), flat(hmg),
+                                    flat(prev_c))             # [K*B, A]
+        masked = _masked_logits(logits, flat(mask_c), temperature)
+        a = flat(act_c)
+        lp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
+                                 jnp.maximum(a, 0)[:, None], axis=-1)[:, 0]
+        return jnp.where(a >= 0, lp, 0.0).reshape(K, B)
+
+    if chunk >= N:
+        return logp_steps(static_emb, record.packed, record.heightmap,
+                          record.mask, record.action, prev, ts).sum(axis=0)
+
+    nchunks = N // chunk
+    resh = lambda x: x.reshape((nchunks, chunk) + x.shape[1:])
+    xs = (resh(record.packed), resh(record.heightmap), resh(record.mask),
+          resh(record.action), resh(prev), resh(ts))
+    ck = jax.checkpoint(
+        lambda se, args: logp_steps(se, *args).sum(axis=0))
+
+    def body(acc, args):
+        return acc + ck(static_emb, args), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.float32), xs)
+    return total
 
 
 # ------------------------------------------------------------------ #
