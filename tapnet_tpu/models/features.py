@@ -37,26 +37,52 @@ def static_tokens(instance: Instance, cfg: TAPConfig) -> jax.Array:
     return jnp.stack(toks, axis=1).reshape(cfg.num_blocks * cfg.num_rot, 4)
 
 
-def dynamic_tokens(instance: Instance, state: EnvState,
-                   cfg: TAPConfig) -> jax.Array:
-    """Per (block, rot) dynamic features [N*R, 4]: packed/accessible/window/t."""
-    acc0, accr = _accessibility(instance, state.packed)
+def dynamic_flags(instance: Instance, packed: jax.Array,
+                  cfg: TAPConfig) -> jax.Array:
+    """Per-block dynamic state as uint8 bit flags [N].
+
+    bit0 = packed, bit1 = accessible (no rotation), bit2 = accessible with
+    rotation, bit3 = inside the rolling observation window. Recording these
+    4 bits per block during the rollout lets the replay pass rebuild every
+    dynamic token with elementwise bit ops — no dependency-graph reductions
+    or window cumsums re-run per decode row (round-2 PROFILE.md target).
+    """
+    acc0, accr = _accessibility(instance, packed)
     if cfg.window > 0:
         rank = jnp.cumsum(acc0.astype(jnp.int32)) - acc0.astype(jnp.int32)
         win = acc0 & (rank < cfg.window)
     else:
         win = acc0
-    per_rot = []
-    for r in range(cfg.num_rot):
-        acc = acc0 if r == 0 else accr
-        per_rot.append(jnp.stack([
-            state.packed.astype(jnp.float32),
-            acc.astype(jnp.float32),
-            win.astype(jnp.float32),
-            jnp.full((cfg.num_blocks,), state.t / cfg.num_blocks,
-                     jnp.float32),
-        ], axis=1))
-    return jnp.stack(per_rot, axis=1).reshape(cfg.num_blocks * cfg.num_rot, 4)
+    return (packed.astype(jnp.uint8)
+            | (acc0.astype(jnp.uint8) << 1)
+            | (accr.astype(jnp.uint8) << 2)
+            | (win.astype(jnp.uint8) << 3))
+
+
+def tokens_from_flags(flags: jax.Array, t_frac, cfg: TAPConfig) -> jax.Array:
+    """Expand dynamic_flags to model tokens: uint8[..., N] -> [..., N*R, 4].
+
+    t_frac (decode progress, t/N) must broadcast against flags[..., N].
+    Fully vectorized over any leading axes (replay feeds [K, B, N] slabs).
+    """
+    f = flags.astype(jnp.int32)
+    packed = (f & 1).astype(jnp.float32)
+    acc0 = ((f >> 1) & 1).astype(jnp.float32)
+    accr = ((f >> 2) & 1).astype(jnp.float32)
+    win = ((f >> 3) & 1).astype(jnp.float32)
+    tf = jnp.broadcast_to(jnp.asarray(t_frac, jnp.float32)[..., None],
+                          packed.shape)
+    per_rot = [jnp.stack([packed, acc0 if r == 0 else accr, win, tf], axis=-1)
+               for r in range(cfg.num_rot)]
+    toks = jnp.stack(per_rot, axis=-2)               # [..., N, R, 4]
+    return toks.reshape(flags.shape[:-1] + (cfg.num_blocks * cfg.num_rot, 4))
+
+
+def dynamic_tokens(instance: Instance, state: EnvState,
+                   cfg: TAPConfig) -> jax.Array:
+    """Per (block, rot) dynamic features [N*R, 4]: packed/accessible/window/t."""
+    return tokens_from_flags(dynamic_flags(instance, state.packed, cfg),
+                             state.t / cfg.num_blocks, cfg)
 
 
 def heightmap_features(state: EnvState, cfg: TAPConfig) -> jax.Array:
@@ -69,13 +95,6 @@ def heightmap_grid(heightmap: jax.Array, cfg: TAPConfig) -> jax.Array:
     """As heightmap_features, but from a raw heightmap array (replay path)."""
     s = _scale(cfg)
     return (heightmap.astype(jnp.float32) / s)[..., None]
-
-
-def dynamic_tokens_from(instance: Instance, packed: jax.Array, t: jax.Array,
-                        cfg: TAPConfig) -> jax.Array:
-    """dynamic_tokens from raw (packed, t) instead of an EnvState (replay)."""
-    return dynamic_tokens(instance, EnvState(heightmap=None, packed=packed,
-                                             placements=None, t=t), cfg)
 
 
 def build_tokens(instance: Instance, state: EnvState, cfg: TAPConfig):

@@ -11,15 +11,18 @@ TPU-first re-design:
   recurrence); the static-dims embedding is exposed separately
   (`embed_static`) so rollout/replay callers hoist it out of the decode loop
   — it never changes across steps;
-- target-container state through a small CNN over the [W, D] heightmap grid
-  (the reference's heightmap encoder row) + global max/mean pooling;
+- target-container state through a dense encoder over the flattened [W, D]
+  heightmap grid (the reference's heightmap-CNN row re-shaped for the MXU:
+  tiny one-channel grids never tile onto the systolic array, so the conv
+  stack is replaced by GEMMs with a global receptive field) + max/mean
+  summaries;
 - decode history enters as an embedding of the previously selected action
   (the reference decoder's last-selected-block conditioning) — a lookup, not
   a recurrence, so replay stays embarrassingly parallel over decode steps;
 - additive (Bahdanau) attention scores as one batched matmul.
 
-The whole per-step forward is a handful of [T, h] GEMMs + one tiny conv that
-XLA fuses; the decode loop lives in the caller's lax.scan.
+The whole per-step forward is a handful of [T, h] GEMMs that XLA fuses; the
+decode loop lives in the caller's lax.scan.
 """
 
 from __future__ import annotations
@@ -65,35 +68,35 @@ class _TokenEncoder(nn.Module):
         return self.finish(self.embed_static(static), dynamic)
 
 
-class _HeightmapCNN(nn.Module):
-    """Conv encoder over per-container [W, D] heightmap grids.
+class _HeightmapEncoder(nn.Module):
+    """Dense encoder over flattened per-container [W, D] heightmap grids.
 
-    Input [..., C, W, D, 1] normalized heights; output [..., C, h]. Global
-    max+mean pooling keeps the output static-shape for any (W, D).
+    Input [..., C, W, D, 1] normalized heights; output [..., C, h].
+
+    The reference's heightmap encoder row is a CNN; target grids here are
+    tiny (W*D <= a few hundred cells), so a 3x3 conv stack with one input
+    channel never engages the MXU and bounded the whole replay backward at
+    ~5% MFU (round-2 PROFILE.md: replay_grad 11.7 of 25.5 ms). Two dense
+    layers over the flattened grid have a global receptive field and batch
+    into MXU-shaped GEMMs over (batch x decode-step x container) rows;
+    global max/mean scalars are kept as explicit summaries of the conv
+    version's pooling.
     """
 
     hidden: int
-    features: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, hm_grid):
-        lead = hm_grid.shape[:-3]
-        x = hm_grid.astype(self.dtype)
-        x = x.reshape((-1,) + hm_grid.shape[-3:])         # [B*C, W, D, 1]
-        x = nn.relu(nn.Conv(self.features // 2, (3, 3), padding="SAME",
-                            dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(self.features, (3, 3), padding="SAME",
-                            dtype=self.dtype)(x))
-        flat = hm_grid.astype(self.dtype).reshape(x.shape[0], -1)
-        pooled = jnp.concatenate([
-            x.max(axis=(1, 2)),
-            x.mean(axis=(1, 2)),
-            flat.max(axis=1, keepdims=True),
-            flat.mean(axis=1, keepdims=True),
+        lead = hm_grid.shape[:-3]                         # [..., C]
+        x = hm_grid.astype(self.dtype).reshape(lead + (-1,))  # [..., C, W*D]
+        feats = jnp.concatenate([
+            x,
+            x.max(axis=-1, keepdims=True),
+            x.mean(axis=-1, keepdims=True),
         ], axis=-1)
-        out = nn.Dense(self.hidden, dtype=self.dtype)(pooled)
-        return out.reshape(lead + (self.hidden,))         # [..., C, h]
+        y = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(feats))
+        return nn.Dense(self.hidden, dtype=self.dtype)(y)  # [..., C, h]
 
 
 class TAPNetActor(nn.Module):
@@ -105,7 +108,7 @@ class TAPNetActor(nn.Module):
 
     def setup(self):
         self.token_enc = _TokenEncoder(self.hidden, dtype=self.dtype)
-        self.hm_enc = _HeightmapCNN(self.hidden, dtype=self.dtype)
+        self.hm_enc = _HeightmapEncoder(self.hidden, dtype=self.dtype)
         # decode history: embedding of the previous action; index 0 = "start"
         self.prev_embed = nn.Embed(self.cfg.num_actions + 1, self.hidden,
                                    dtype=self.dtype)
@@ -171,8 +174,8 @@ class TAPNetCritic(nn.Module):
         tok = _TokenEncoder(self.hidden, name="token_enc",
                             dtype=self.dtype)(static.astype(self.dtype),
                                               dynamic.astype(self.dtype))
-        hm = _HeightmapCNN(self.hidden, name="hm_enc",
-                           dtype=self.dtype)(hm_grid)
+        hm = _HeightmapEncoder(self.hidden, name="hm_enc",
+                               dtype=self.dtype)(hm_grid)
         x = jnp.concatenate([tok.mean(axis=0), hm.mean(axis=0)])
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 from tapnet_tpu.config import TAPConfig
 from tapnet_tpu.env import core as E
-from tapnet_tpu.models.features import (dynamic_tokens, dynamic_tokens_from,
-                                        heightmap_grid, static_tokens)
+from tapnet_tpu.models.features import (dynamic_flags, heightmap_grid,
+                                        static_tokens, tokens_from_flags)
 from tapnet_tpu.models.tapnet import TAPNetActor
 from tapnet_tpu.types import EnvState, Instance
 
@@ -42,7 +42,7 @@ class RolloutRecord(NamedTuple):
     a leading decode-step axis of length N. Enough to replay every decode
     logit in parallel."""
 
-    packed: jax.Array     # bool[N, B, num_blocks]
+    flags: jax.Array      # uint8[N, B, num_blocks] (features.dynamic_flags)
     heightmap: jax.Array  # int32[N, B, C, W, D]
     mask: jax.Array       # bool[N, B, A]
     action: jax.Array     # int32[N, B] (-1 = no feasible action)
@@ -102,8 +102,10 @@ def _rollout_record_general(actor_params, instances: Instance, keys,
         state, prev, logp_sum = carry
         mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
             state, instances)                                      # [B, A]
-        dynamic = jax.vmap(lambda i, s: dynamic_tokens(i, s, cfg))(
-            instances, state)                                      # [B, T, F]
+        flags = jax.vmap(lambda i, p: dynamic_flags(i, p, cfg))(
+            instances, state.packed)                               # [B, nb] u8
+        dynamic = tokens_from_flags(flags, state.t / cfg.num_blocks,
+                                    cfg)                           # [B, T, F]
         hmg = heightmap_grid(state.heightmap, cfg)                 # [B,C,W,D,1]
         logits = jax.vmap(
             lambda se, dy, hg, pa: actor.apply(
@@ -121,7 +123,7 @@ def _rollout_record_general(actor_params, instances: Instance, keys,
                                    a[:, None], axis=-1)[:, 0]
         logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
         a = jnp.where(valid, a, -1)
-        rec = RolloutRecord(packed=state.packed, heightmap=state.heightmap,
+        rec = RolloutRecord(flags=flags, heightmap=state.heightmap,
                             mask=mask, action=a)
         state = jax.vmap(lambda s, aa, i: E.step(s, aa, i, cfg))(
             state, a, instances)
@@ -182,9 +184,9 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
                             placements=None, t=None)
         mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
             state_bm, instances)                                 # [B, A]
-        dynamic = jax.vmap(
-            lambda i, p: dynamic_tokens_from(i, p, t, cfg))(
-            instances, packed_bm)                                # [B, T, F]
+        flags = jax.vmap(lambda i, p: dynamic_flags(i, p, cfg))(
+            instances, packed_bm)                                # [B, nb] u8
+        dynamic = tokens_from_flags(flags, t / cfg.num_blocks, cfg)  # [B,T,F]
         hmg = heightmap_grid(hm_bm, cfg)
         logits = jax.vmap(
             lambda se, dy, hg, pa: actor.apply(
@@ -206,7 +208,7 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
         logp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
                                    jnp.maximum(a, 0)[:, None], axis=-1)[:, 0]
         logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
-        rec = RolloutRecord(packed=packed_bm, heightmap=hm_bm,
+        rec = RolloutRecord(flags=flags, heightmap=hm_bm,
                             mask=mask, action=a)
         return (packed_n, hm_n, plc_n, a, logp_sum), rec
 
@@ -260,31 +262,38 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
         return actor.apply(actor_params, se, dy, hg, pa,
                            method=TAPNetActor.head)
 
-    def logp_steps(se_emb, packed_c, hm_c, mask_c, act_c, prev_c, ts_c):
-        """logp for a [K, B, ...] slab of decode steps; returns [K, B]."""
+    def logp_steps(se_emb, flags_c, hm_c, mask_c, act_c, prev_c, ts_c):
+        """logp for a [K, B, ...] slab of decode steps; returns [K, B].
+
+        Dynamic tokens come straight from the recorded uint8 bit flags —
+        elementwise expansion, no dependency-graph or window recompute.
+
+        The [K, B] leading axes are kept as separate batch dims (nested
+        vmap) rather than flattened to [K*B]: under a data-sharded mesh a
+        K-major reshape would interleave the sharded B axis and force XLA
+        to all-gather the whole replay record to every device (caught by
+        tests/test_parallel.py::test_hlo_collective_audit_train_step)."""
         K = ts_c.shape[0]
-        dynamic = jax.vmap(
-            lambda p_t, t: jax.vmap(
-                lambda i, p: dynamic_tokens_from(i, p, t, cfg))(
-                instances, p_t))(packed_c, ts_c)              # [K, B, T, F]
+        dynamic = tokens_from_flags(
+            flags_c, ts_c[:, None].astype(jnp.float32) / cfg.num_blocks,
+            cfg)                                              # [K, B, T, F]
         hmg = heightmap_grid(hm_c, cfg)                       # [K,B,C,W,D,1]
         se_nb = jnp.broadcast_to(se_emb[None], (K,) + se_emb.shape)
-        flat = lambda x: x.reshape((K * B,) + x.shape[2:])
-        logits = jax.vmap(head_one)(flat(se_nb), flat(dynamic), flat(hmg),
-                                    flat(prev_c))             # [K*B, A]
-        masked = _masked_logits(logits, flat(mask_c), temperature)
-        a = flat(act_c)
+        logits = jax.vmap(jax.vmap(head_one))(se_nb, dynamic, hmg,
+                                              prev_c)         # [K, B, A]
+        masked = _masked_logits(logits, mask_c, temperature)
         lp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
-                                 jnp.maximum(a, 0)[:, None], axis=-1)[:, 0]
-        return jnp.where(a >= 0, lp, 0.0).reshape(K, B)
+                                 jnp.maximum(act_c, 0)[..., None],
+                                 axis=-1)[..., 0]
+        return jnp.where(act_c >= 0, lp, 0.0)
 
     if chunk >= N:
-        return logp_steps(static_emb, record.packed, record.heightmap,
+        return logp_steps(static_emb, record.flags, record.heightmap,
                           record.mask, record.action, prev, ts).sum(axis=0)
 
     nchunks = N // chunk
     resh = lambda x: x.reshape((nchunks, chunk) + x.shape[1:])
-    xs = (resh(record.packed), resh(record.heightmap), resh(record.mask),
+    xs = (resh(record.flags), resh(record.heightmap), resh(record.mask),
           resh(record.action), resh(prev), resh(ts))
     ck = jax.checkpoint(
         lambda se, args: logp_steps(se, *args).sum(axis=0))

@@ -62,7 +62,7 @@ def test_stepfused_rollout_matches_general(name, greedy):
             interpret=True))(params, instances, keys)
 
     np.testing.assert_array_equal(np.asarray(r_g.action), np.asarray(r_f.action))
-    np.testing.assert_array_equal(np.asarray(r_g.packed), np.asarray(r_f.packed))
+    np.testing.assert_array_equal(np.asarray(r_g.flags), np.asarray(r_f.flags))
     np.testing.assert_array_equal(np.asarray(r_g.heightmap),
                                   np.asarray(r_f.heightmap))
     np.testing.assert_array_equal(np.asarray(r_g.mask), np.asarray(r_f.mask))
