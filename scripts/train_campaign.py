@@ -22,7 +22,10 @@ PLANS = {
     "2d-rot": dict(epochs=40, steps_per_epoch=250, batch=1024),
     "3d-basic": dict(epochs=40, steps_per_epoch=250, batch=1024),
     "2d-rolling": dict(epochs=20, steps_per_epoch=200, batch=512),
-    "multi-container": dict(epochs=40, steps_per_epoch=250, batch=1024),
+    # driver config 5 trains on the mixed 2D/3D instance stream
+    # (BASELINE.json: "Multi-target-container TAP ... and mixed 2D/3D batch")
+    "multi-container": dict(epochs=40, steps_per_epoch=250, batch=1024,
+                            mixed_p2d=0.5),
 }
 
 
@@ -44,7 +47,8 @@ def main():
             epochs=plan["epochs"], steps_per_epoch=plan["steps_per_epoch"],
             batch=plan["batch"], valid_batch=512, hidden=128, lr=5e-4,
             ckpt_dir=os.path.join(REPO, "ckpts", name),
-            metrics_path=os.path.join(REPO, "runs", f"{name}.jsonl"))
+            metrics_path=os.path.join(REPO, "runs", f"{name}.jsonl"),
+            mixed_p2d=plan.get("mixed_p2d", 0.0))
         print(f"=== {name}: {plan}", flush=True)
         ts = train(cfg, loop, resume=True)
         out = evaluate(ts.params, cfg, loop, baselines=True)

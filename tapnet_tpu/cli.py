@@ -87,6 +87,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all local devices")
+    p.add_argument("--mixed-p2d", type=float, default=0.0,
+                   help="P(instance is flat/2D) for mixed 2D/3D batches "
+                        "(driver config 5; 3D envs only)")
 
     p = sub.add_parser("eval", help="greedy evaluation of a checkpoint")
     add_config_flags(p)
@@ -97,6 +100,8 @@ def main(argv=None) -> int:
     p.add_argument("--baselines", action="store_true",
                    help="also score the random/first heuristics on the "
                         "same held-out instances")
+    p.add_argument("--mixed-p2d", type=float, default=0.0,
+                   help="evaluate on a mixed 2D/3D instance stream")
 
     p = sub.add_parser("generate", help="write an instance dataset file")
     add_config_flags(p)
@@ -131,7 +136,8 @@ def main(argv=None) -> int:
             epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
             batch=args.batch, valid_batch=args.valid_batch,
             hidden=args.hidden, lr=args.lr, seed=args.seed,
-            ckpt_dir=args.ckpt_dir, metrics_path=args.metrics)
+            ckpt_dir=args.ckpt_dir, metrics_path=args.metrics,
+            mixed_p2d=args.mixed_p2d)
         mesh = None
         if args.mesh:
             from tapnet_tpu.parallel import data_mesh
@@ -151,7 +157,8 @@ def main(argv=None) -> int:
             return 1
         ts = ckpt.restore_checkpoint(path, ts)
         loop = TrainLoopConfig(hidden=args.hidden, valid_batch=args.batch,
-                               valid_seed=args.seed)
+                               valid_seed=args.seed,
+                               mixed_p2d=args.mixed_p2d)
         out = evaluate(ts.params, cfg, loop, baselines=args.baselines)
         print(json.dumps({"ckpt": path, "step": int(ts.step),
                           **{k: float(v) for k, v in out.items()}}))

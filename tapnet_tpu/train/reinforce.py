@@ -103,8 +103,13 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
                     lr: float = 5e-4, clip: float = 2.0,
                     temperature: float = 1.0, critic_weight: float = 1.0,
                     mesh=None, axis: str = "data", use_pallas=None,
-                    from_dataset: bool = False, compute_dtype=None):
+                    from_dataset: bool = False, compute_dtype=None,
+                    mixed_p2d: float = 0.0):
     """Build the jitted train step: TrainState -> (TrainState, metrics).
+
+    mixed_p2d > 0 (3D envs only) samples each on-device instance as flat/2D
+    (depth-1 blocks) with that probability — driver config 5's mixed 2D/3D
+    batch (BASELINE.json; env.sampler.sample_batch_mixed).
 
     With `mesh`, the on-device-sampled instance batch and per-instance action
     keys are sharded over the mesh's data axis (each device samples and rolls
@@ -142,8 +147,13 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
     def train_step(ts: TrainState, instances: Instance = None):
         key, k_inst, k_act = jax.random.split(ts.key, 3)
         if instances is None:
-            inst_keys = jax.random.split(k_inst, batch)
-            instances = jax.vmap(lambda k: sample_instance(k, cfg))(inst_keys)
+            if mixed_p2d > 0:
+                from tapnet_tpu.env.sampler import sample_batch_mixed
+                instances = sample_batch_mixed(k_inst, batch, cfg, mixed_p2d)
+            else:
+                inst_keys = jax.random.split(k_inst, batch)
+                instances = jax.vmap(
+                    lambda k: sample_instance(k, cfg))(inst_keys)
         act_keys = jax.random.key_data(jax.random.split(k_act, batch))
         if mesh is not None:
             from tapnet_tpu.parallel.mesh import shard_leading_axis, replicate

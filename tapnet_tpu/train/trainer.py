@@ -38,6 +38,7 @@ class TrainLoopConfig:
     ckpt_dir: Optional[str] = None
     metrics_path: Optional[str] = None
     trace_dir: Optional[str] = None   # capture a profiler trace of epoch 0
+    mixed_p2d: float = 0.0            # P(instance is flat/2D); 3D envs only
 
 
 def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
@@ -50,10 +51,14 @@ def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
     comparable (the reference validates the same way, SURVEY.md §3.2).
     """
     from tapnet_tpu.env import core as E
-    from tapnet_tpu.env.sampler import sample_batch
+    from tapnet_tpu.env.sampler import sample_batch, sample_batch_mixed
 
     key = jax.random.key(loop.valid_seed)
-    instances = sample_batch(key, loop.valid_batch, cfg)
+    if loop.mixed_p2d > 0:
+        instances = sample_batch_mixed(key, loop.valid_batch, cfg,
+                                       loop.mixed_p2d)
+    else:
+        instances = sample_batch(key, loop.valid_batch, cfg)
     keys = jax.random.split(key, loop.valid_batch)
     states, _, rewards, _ = policy_rollout_batch(
         params["actor"], instances, keys, cfg, loop.hidden, greedy=True)
@@ -62,6 +67,17 @@ def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
     f = lambda n, d: (n / jnp.maximum(d, 1)).astype(jnp.float32).mean()
     out = {"valid_reward": rewards.mean(), "valid_C": f(vol, dc),
            "valid_P": f(vol, dp), "valid_S": f(sn, sd)}
+    if cfg.num_containers > 1:
+        # per-container occupancy of the learned packing (VERDICT r2: show
+        # the container-choice axis matters, not just that it parses)
+        cont = states.placements[:, :, 0]
+        placed_n = jnp.maximum((cont >= 0).sum(), 1)
+        for c in range(cfg.num_containers):
+            out[f"valid_container{c}_frac"] = (cont == c).sum() / placed_n
+    if loop.mixed_p2d > 0:
+        # fraction of the eval stream that is flat/2D (depth-1 blocks)
+        out["valid_2d_frac"] = (
+            instances.dims[:, :, 1].max(axis=1) == 1).mean()
     if baselines:
         for policy in ("random", "first"):
             _, _, r = E.rollout_batch(instances, keys, cfg, policy=policy)
@@ -84,7 +100,8 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
         ts = put_replicated(ts, mesh)
 
     train_step = make_train_step(cfg, loop.batch, loop.hidden, loop.lr,
-                                 loop.clip, loop.temperature, mesh=mesh)
+                                 loop.clip, loop.temperature, mesh=mesh,
+                                 mixed_p2d=loop.mixed_p2d)
     total = loop.epochs * loop.steps_per_epoch
     sps = StepsPerSecond(loop.batch * cfg.num_blocks)
     traced = False

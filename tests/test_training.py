@@ -263,3 +263,41 @@ def test_chunked_replay_matches_unchunked():
         assert str(k1) == str(k5)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6, err_msg=str(k1))
+
+
+def test_mixed_stream_train_step_and_eval():
+    """Driver config 5's mixed 2D/3D stream (VERDICT r2 missing #2): the
+    train step samples mixed batches on device; eval reports per-container
+    occupancy and the 2D fraction, and its instance stream genuinely
+    differs from the pure-3D stream."""
+    cfg = CONFIGS["multi-container"]
+    ts = init_train_state(jax.random.key(0), cfg, hidden=32)
+    step = make_train_step(cfg, batch=16, hidden=32, mixed_p2d=0.5)
+    ts, metrics = step(ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+    loop = TrainLoopConfig(hidden=32, valid_batch=64, mixed_p2d=0.5)
+    out = evaluate(ts.params, cfg, loop, baselines=True)
+    assert 0.1 < float(out["valid_2d_frac"]) < 0.9
+    fr = [float(out[f"valid_container{c}_frac"]) for c in range(2)]
+    assert abs(sum(fr) - 1.0) < 1e-6
+    out3d = evaluate(ts.params, cfg,
+                     TrainLoopConfig(hidden=32, valid_batch=64),
+                     baselines=True)
+    assert float(out3d["first_reward"]) != float(out["first_reward"])
+
+
+@pytest.mark.slow
+def test_learning_improves_reward_mixed_stream():
+    """REINFORCE lifts greedy validation reward on the mixed 2D/3D
+    multi-container stream (the full driver config 5)."""
+    cfg = CONFIGS["multi-container"]
+    loop = TrainLoopConfig(hidden=64, valid_batch=64, mixed_p2d=0.5)
+    ts = init_train_state(jax.random.key(0), cfg, hidden=64, lr=1e-3)
+    before = float(evaluate(ts.params, cfg, loop)["valid_reward"])
+    step = make_train_step(cfg, batch=48, hidden=64, lr=1e-3, mixed_p2d=0.5)
+    for _ in range(30):
+        ts, _ = step(ts)
+    after = float(evaluate(ts.params, cfg, loop)["valid_reward"])
+    assert after > before + 0.05, (before, after)
