@@ -2,7 +2,9 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} (plus a
 `train_env_steps_per_s` field for the learner-facing number — the
-policy-rollout REINFORCE train step measured on the same chip).
+policy-rollout REINFORCE train step measured on the same chip). value is
+the median of 3 independent timed windows; min/max are included so run-to-
+run variance is explicit.
 
 vs_baseline compares against the reference's own mechanism — the per-instance
 Python step loop (BASELINE.json names it; our CPU oracle implements it
@@ -10,8 +12,12 @@ exactly) — measured live on this host, since the empty reference mount has no
 published numbers (BASELINE.md).
 
 `python bench.py --detail` additionally writes BENCH_DETAIL.json with
-per-config rows (heuristic-fused / general-path / train-step env-steps/s) so
-every throughput number in the README has a committed reproduction.
+per-config rows (heuristic-fused / general-path / policy-rollout /
+train-step env-steps/s, each {value=median, min, max, runs, iters, batch})
+so every throughput number in the README has a committed reproduction.
+Rows are rebuilt wholesale on each run (never merged field-by-field), and
+--configs rejects unknown names — stale or mislabeled rows can't silently
+survive a rerun (ADVICE r2).
 """
 
 import argparse
@@ -26,7 +32,8 @@ def main():
                         help="also write per-config BENCH_DETAIL.json")
     parser.add_argument("--configs", default=None,
                         help="comma-separated config subset for --detail "
-                             "(merges into an existing BENCH_DETAIL.json)")
+                             "(other configs' rows are kept from the "
+                             "existing BENCH_DETAIL.json)")
     parser.add_argument("--skip-headline", action="store_true",
                         help="with --detail: skip the headline measurement")
     args = parser.parse_args()
@@ -37,55 +44,91 @@ def main():
                                    ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from tapnet_tpu.config import CONFIGS
-    from tapnet_tpu.benchmarks import (measure_env_steps_per_s,
+    from tapnet_tpu.config import CONFIGS, TAPConfig
+    from tapnet_tpu.benchmarks import (measure_env_stats,
                                        measure_oracle_steps_per_s,
-                                       measure_train_steps_per_s)
+                                       measure_policy_rollout_stats,
+                                       measure_train_stats)
+
+    # Non-lb placement-rule variants of the driver configs (VERDICT r2 item
+    # 7): exact-fraction mcs scoring and a finite target-height cap, both of
+    # which the monolithic heuristic kernel excludes (ops/pallas_env.py) but
+    # the per-decode-step kernel covers.
+    variants = {
+        "2d-mcs-soft": TAPConfig(reward_type="C+P+S-mcs-soft"),
+        "2d-mcs-hard": TAPConfig(reward_type="C+P+S-mcs-hard"),
+        "2d-capped-hard": TAPConfig(target_height=12,
+                                    reward_type="C+P+S-lb-hard"),
+        "3d-mcs-hard": TAPConfig(dim=3, container_width=8, container_depth=8,
+                                 container_height=8, target_width=8,
+                                 target_depth=8, allow_rot=True,
+                                 reward_type="C+P+S-mcs-hard"),
+    }
+    all_named = dict(CONFIGS, **variants)
+
+    if args.configs:
+        unknown = set(args.configs.split(",")) - set(all_named)
+        if unknown:
+            parser.error(f"unknown config(s): {sorted(unknown)}; "
+                         f"choose from {sorted(all_named)}")
 
     cfg = CONFIGS["2d-basic"]
     baseline = measure_oracle_steps_per_s(cfg)
     if not (args.detail and args.skip_headline):
-        value = measure_env_steps_per_s(cfg, batch=4096, iters=200)
-        train_value = measure_train_steps_per_s(cfg, batch=4096, iters=20)
+        env = measure_env_stats(cfg, batch=4096, iters=100, runs=3)
+        train = measure_train_stats(cfg, batch=4096, iters=20, runs=3)
         print(json.dumps({
             "metric": "env-steps/s/chip (2D TAP, batch 4096, full mask+policy+step rollout)",
-            "value": round(value, 1),
+            "value": env["value"],
             "unit": "env-steps/s",
-            "vs_baseline": round(value / baseline, 2),
-            "train_env_steps_per_s": round(train_value, 1),
+            "vs_baseline": round(env["value"] / baseline, 2),
+            "train_env_steps_per_s": train["value"],
+            "env_min": env["min"], "env_max": env["max"],
+            "train_min": train["min"], "train_max": train["max"],
+            "runs": env["runs"],
         }))
 
     if args.detail:
+        from tapnet_tpu.ops import pallas_env
+        from tapnet_tpu.ops import pallas_policy_step as PS
+
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json")
-        detail = {"host_oracle_steps_per_s": round(baseline, 1), "configs": {}}
+        detail = {"host_oracle_steps_per_s": round(baseline, 1),
+                  "configs": {}, "variants": {}}
         if args.configs and os.path.exists(out):
             with open(out) as f:
                 detail = json.load(f)
+            detail.setdefault("configs", {})
+            detail.setdefault("variants", {})
             detail["host_oracle_steps_per_s"] = round(baseline, 1)
         subset = (set(args.configs.split(",")) if args.configs
-                  else set(CONFIGS))
+                  else set(all_named))
+        on_tpu = jax.default_backend() == "tpu"
+
         def flush():
             with open(out, "w") as f:
                 json.dump(detail, f, indent=2)
                 f.write("\n")
 
-        for name, c in CONFIGS.items():
+        for name, c in all_named.items():
             if name not in subset:
                 continue
-            from tapnet_tpu.ops.pallas_env import eligible
-            row = detail["configs"].setdefault(name, {})
-            if eligible(c) and jax.default_backend() == "tpu":
-                row["heuristic_fused"] = round(
-                    measure_env_steps_per_s(c, batch=4096, iters=100,
-                                            fused=True), 1)
+            section = detail["configs" if name in CONFIGS else "variants"]
+            row = section[name] = {}  # rebuilt wholesale — no stale fields
+            if pallas_env.eligible(c) and on_tpu:
+                row["heuristic_fused"] = measure_env_stats(
+                    c, batch=4096, iters=100, runs=3, fused=True)
                 flush()
-            row["general_path"] = round(
-                measure_env_steps_per_s(c, batch=4096, iters=50,
-                                        fused=False), 1)
+            row["general_path"] = measure_env_stats(
+                c, batch=4096, iters=50, runs=3, fused=False)
             flush()
-            row["train_step"] = round(
-                measure_train_steps_per_s(c, batch=4096, iters=10), 1)
+            if PS.eligible(c) and on_tpu and 4096 % PS.TB == 0:
+                row["policy_rollout"] = measure_policy_rollout_stats(
+                    c, batch=4096, iters=20, runs=3)
+                flush()
+            row["train_step"] = measure_train_stats(
+                c, batch=4096, iters=10, runs=3)
             flush()
             print(f"{name}: {row}", file=sys.stderr)
         print(f"wrote {out}", file=sys.stderr)

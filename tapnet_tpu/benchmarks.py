@@ -4,14 +4,26 @@ Used by the repo-root bench.py (driver entry) and `python -m tapnet_tpu.cli
 bench`. The baseline measurement reproduces the reference's own mechanism —
 the per-instance Python step loop — live on this host (BASELINE.md: the
 empty reference mount has no published numbers).
+
+Every `measure_*_stats` function runs `runs` independent timed windows over
+one compiled executable and reports {value=median, min, max, runs, iters,
+batch} so run-to-run variance (±15% observed across driver rounds) is
+explicit in each committed number (VERDICT r2 item 5).
 """
 
 from __future__ import annotations
 
+import statistics
 import time
 
 import jax
 import numpy as np
+
+
+def _stats(vals, batch, iters):
+    return {"value": round(statistics.median(vals), 1),
+            "min": round(min(vals), 1), "max": round(max(vals), 1),
+            "runs": len(vals), "iters": iters, "batch": batch}
 
 
 def measure_oracle_steps_per_s(cfg, n_instances: int = 8) -> float:
@@ -34,6 +46,35 @@ def measure_oracle_steps_per_s(cfg, n_instances: int = 8) -> float:
         return steps / (time.perf_counter() - t0)
 
 
+def _timed_windows(run_iter, iters: int, runs: int, steps_per_iter: float):
+    """run_iter(i) dispatches one iteration; returns env-steps/s per window."""
+    vals = []
+    for r in range(runs):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = run_iter(r * iters + i)
+        jax.block_until_ready(out)
+        vals.append(steps_per_iter * iters / (time.perf_counter() - t0))
+    return vals
+
+
+def _train_run(cfg, batch, hidden, iters, runs):
+    from tapnet_tpu.train.reinforce import init_train_state, make_train_step
+
+    ts = init_train_state(jax.random.key(0), cfg, hidden=hidden)
+    step = make_train_step(cfg, batch=batch, hidden=hidden)
+    ts, m = step(ts)
+    jax.block_until_ready(m)  # compile
+    box = [ts]
+
+    def run_iter(_):
+        box[0], m = step(box[0])
+        return m
+
+    return _timed_windows(run_iter, iters, runs, batch * cfg.num_blocks)
+
+
 def measure_train_steps_per_s(cfg, batch: int = 4096, hidden: int = 128,
                               iters: int = 10) -> float:
     """Learned-policy REINFORCE train step: env-steps/s/chip.
@@ -43,28 +84,15 @@ def measure_train_steps_per_s(cfg, batch: int = 4096, hidden: int = 128,
     Adam step per iteration, counted as batch * num_blocks env steps.
     Any batch fits: the replay pass auto-chunks the decode-step axis with
     rematerialization (train.rollout.replay_logp_sum)."""
-    from tapnet_tpu.train.reinforce import init_train_state, make_train_step
-
-    ts = init_train_state(jax.random.key(0), cfg, hidden=hidden)
-    step = make_train_step(cfg, batch=batch, hidden=hidden)
-    ts, m = step(ts)
-    jax.block_until_ready(m)  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        ts, m = step(ts)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
-    return iters * batch * cfg.num_blocks / dt
+    return _train_run(cfg, batch, hidden, iters, runs=1)[0]
 
 
-def measure_env_steps_per_s(cfg, batch: int, iters: int = 10,
-                            fused: bool = None) -> float:
-    """Batched rollouts on the default backend (TPU when present).
+def measure_train_stats(cfg, batch: int = 4096, hidden: int = 128,
+                        iters: int = 10, runs: int = 3) -> dict:
+    return _stats(_train_run(cfg, batch, hidden, iters, runs), batch, iters)
 
-    Uses the fused whole-rollout Pallas kernel when the config is eligible
-    (bit-exact vs the general path — parity-tested); pass fused=False to
-    measure the general jit/vmap path.
-    """
+
+def _env_run(cfg, batch, iters, runs, fused):
     from tapnet_tpu.env import core as E
     from tapnet_tpu.env import sample_batch
     from tapnet_tpu.ops.pallas_env import eligible, fused_rollout_batch
@@ -77,20 +105,55 @@ def measure_env_steps_per_s(cfg, batch: int, iters: int = 10,
 
     key = jax.random.key(0)
     batch_inst = sample_batch(key, batch, cfg)
-    keys = jax.random.split(key, batch)
     jax.block_until_ready(batch_inst)
-
-    jax.block_until_ready(run(batch_inst, keys))  # compile
+    jax.block_until_ready(run(batch_inst, jax.random.split(key, batch)))
 
     # pre-derive per-iteration key batches so host-side key construction is
-    # not measured; dispatches pipeline, block once at the end
+    # not measured; dispatches pipeline, block once per window
     key_batches = [jax.random.split(jax.random.key(i + 1), batch)
-                   for i in range(iters)]
+                   for i in range(iters * runs)]
     jax.block_until_ready(key_batches)
-    t0 = time.perf_counter()
-    for kb in key_batches:
-        out = run(batch_inst, kb)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
     steps_per_rollout = int(np.asarray(batch_inst.n_total).sum())
-    return steps_per_rollout * iters / dt
+    return _timed_windows(lambda i: run(batch_inst, key_batches[i]),
+                          iters, runs, steps_per_rollout)
+
+
+def measure_env_steps_per_s(cfg, batch: int, iters: int = 10,
+                            fused: bool = None) -> float:
+    """Batched heuristic rollouts on the default backend (TPU when present).
+
+    Uses the fused whole-rollout Pallas kernel when the config is eligible
+    (bit-exact vs the general path — parity-tested); pass fused=False to
+    measure the general jit/vmap path.
+    """
+    return _env_run(cfg, batch, iters, 1, fused)[0]
+
+
+def measure_env_stats(cfg, batch: int, iters: int = 50, runs: int = 3,
+                      fused: bool = None) -> dict:
+    return _stats(_env_run(cfg, batch, iters, runs, fused), batch, iters)
+
+
+def measure_policy_rollout_stats(cfg, batch: int = 4096, hidden: int = 128,
+                                 iters: int = 20, runs: int = 3,
+                                 step_kernel: bool = None) -> dict:
+    """Learned-policy (actor-in-the-loop) rollout throughput, no gradients.
+
+    The train step's inference phase in isolation: actor forward + fused
+    select/place kernel per decode step (ops.pallas_policy_step when
+    eligible). Counted as batch * num_blocks env steps per rollout.
+    """
+    from tapnet_tpu.models import init_params
+    from tapnet_tpu.env import sample_batch
+    from tapnet_tpu.train.rollout import rollout_batch_record
+
+    key = jax.random.key(0)
+    params = init_params(key, cfg, hidden)["actor"]
+    instances = sample_batch(key, batch, cfg)
+    keys = jax.random.split(key, batch)
+    fn = jax.jit(lambda p, i, k: rollout_batch_record(
+        p, i, k, cfg, hidden, step_kernel=step_kernel))
+    jax.block_until_ready(fn(params, instances, keys))
+    return _stats(_timed_windows(lambda _: fn(params, instances, keys),
+                                 iters, runs, batch * cfg.num_blocks),
+                  batch, iters)
