@@ -1,0 +1,168 @@
+"""On-hardware kernel parity gate -> PARITY_TPU.json (VERDICT r2 item 2).
+
+Every bit-exactness test in tests/ runs the Pallas kernels in interpreter
+mode on CPU (tests/conftest.py forces jax_platforms=cpu), and round 2 found
+a real TPU miscompile the interpreter can't see (bool-scatter, commit
+ac2edeb). This script is the missing hardware gate: on the real chip with
+interpret=False it runs
+
+  1. the monolithic fused rollout kernel (ops.pallas_env.fused_rollout_batch)
+     for every eligible driver config x {first, random} policies,
+  2. the per-decode-step policy kernel (ops.pallas_policy_step.select_step)
+     inside full actor rollouts for the driver configs PLUS the non-lb
+     variants (mcs-soft/hard, capped-hard, 3d-mcs-hard),
+  3. the fused C/P/S reward kernel (ops.pallas_reward.batched_reward_terms),
+
+each against the general jitted path on the same chip, and records
+per-field equality booleans in PARITY_TPU.json. Exit code 1 if anything
+mismatches. Run: `python scripts/tpu_parity.py [--batch 256]`.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--out", default=os.path.join(REPO, "PARITY_TPU.json"))
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tapnet_tpu.config import CONFIGS, TAPConfig
+    from tapnet_tpu.env import core as E
+    from tapnet_tpu.env.sampler import sample_batch
+    from tapnet_tpu.models import init_params
+    from tapnet_tpu.ops import batched_reward_terms
+    from tapnet_tpu.ops import pallas_env as PE
+    from tapnet_tpu.ops import pallas_policy_step as PS
+    from tapnet_tpu.train.rollout import rollout_batch_record
+
+    variants = {
+        "2d-mcs-soft": TAPConfig(reward_type="C+P+S-mcs-soft"),
+        "2d-mcs-hard": TAPConfig(reward_type="C+P+S-mcs-hard"),
+        "2d-capped-hard": TAPConfig(target_height=12,
+                                    reward_type="C+P+S-lb-hard"),
+        "3d-mcs-hard": TAPConfig(dim=3, container_width=8, container_depth=8,
+                                 container_height=8, target_width=8,
+                                 target_depth=8, allow_rot=True,
+                                 reward_type="C+P+S-mcs-hard"),
+    }
+    B = args.batch
+    backend = jax.default_backend()
+    report = {
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "batch": B,
+        "interpret": False,
+        "fused_rollout": {},
+        "select_step": {},
+        "reward_kernel": {},
+    }
+    if backend != "tpu":
+        print("ERROR: must run on the real TPU backend", file=sys.stderr)
+        return 1
+
+    def eq(a, b):
+        return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+
+    all_ok = True
+
+    # ---- 1. monolithic fused rollout kernel ------------------------------
+    for name, cfg in CONFIGS.items():
+        if not PE.eligible(cfg):
+            continue
+        key = jax.random.key(11)
+        batch = sample_batch(key, B, cfg)
+        keys = jax.random.split(key, B)
+        for policy in ("first", "random"):
+            s_g, a_g, r_g = jax.jit(
+                lambda b, k, policy=policy, cfg=cfg: E.rollout_batch(
+                    b, k, cfg, policy=policy))(batch, keys)
+            s_f, a_f, r_f = PE.fused_rollout_batch(batch, keys, cfg,
+                                                   policy=policy)
+            row = {
+                "actions": eq(a_g, a_f),
+                "heightmap": eq(s_g.heightmap, s_f.heightmap),
+                "packed": eq(s_g.packed, s_f.packed),
+                "placements": eq(s_g.placements, s_f.placements),
+                "rewards": eq(r_g, r_f),
+            }
+            report["fused_rollout"][f"{name}/{policy}"] = row
+            all_ok &= all(row.values())
+            print(f"fused_rollout {name}/{policy}: {row}", flush=True)
+
+    # ---- 2. per-decode-step policy kernel inside actor rollouts ----------
+    step_cases = dict(CONFIGS, **variants)
+    for name, cfg in step_cases.items():
+        if not (PS.eligible(cfg) and B % PS.TB == 0):
+            continue
+        key = jax.random.key(29)
+        params = init_params(key, cfg, hidden=64)["actor"]
+        batch = sample_batch(key, B, cfg)
+        keys = jax.random.split(key, B)
+        for greedy in ((False, True) if name == "2d-basic" else (False,)):
+            s_g, r_g, lp_g = jax.jit(
+                lambda p, i, k, cfg=cfg, greedy=greedy: rollout_batch_record(
+                    p, i, k, cfg, 64, greedy=greedy, step_kernel=False))(
+                params, batch, keys)
+            s_f, r_f, lp_f = jax.jit(
+                lambda p, i, k, cfg=cfg, greedy=greedy: rollout_batch_record(
+                    p, i, k, cfg, 64, greedy=greedy, step_kernel=True))(
+                params, batch, keys)
+            row = {
+                "actions": eq(r_g.action, r_f.action),
+                "flags": eq(r_g.flags, r_f.flags),
+                "rec_heightmap": eq(r_g.heightmap, r_f.heightmap),
+                "mask": eq(r_g.mask, r_f.mask),
+                "state_heightmap": eq(s_g.heightmap, s_f.heightmap),
+                "state_packed": eq(s_g.packed, s_f.packed),
+                "state_placements": eq(s_g.placements, s_f.placements),
+                "logp_close": bool(np.allclose(np.asarray(lp_g),
+                                               np.asarray(lp_f),
+                                               rtol=1e-5, atol=1e-5)),
+            }
+            tag = f"{name}/{'greedy' if greedy else 'sampled'}"
+            report["select_step"][tag] = row
+            all_ok &= all(row.values())
+            print(f"select_step {tag}: {row}", flush=True)
+
+    # ---- 3. fused reward kernel ------------------------------------------
+    for name, cfg in CONFIGS.items():
+        key = jax.random.key(43)
+        batch = sample_batch(key, B, cfg)
+        keys = jax.random.split(key, B)
+        s, _, _ = jax.jit(lambda b, k, cfg=cfg: E.rollout_batch(
+            b, k, cfg, policy="random"))(batch, keys)
+        ref = jax.jit(jax.vmap(
+            lambda s_, i, cfg=cfg: E.reward_terms(s_, i, cfg)))(s, batch)
+        got = batched_reward_terms(s.heightmap, s.placements, batch.dims)
+        row = {f: eq(a, b) for f, a, b in zip(
+            ("vol", "denom_c", "denom_p", "s_num", "s_den"), ref, got)}
+        report["reward_kernel"][name] = row
+        all_ok &= all(row.values())
+        print(f"reward_kernel {name}: {row}", flush=True)
+
+    report["all_ok"] = bool(all_ok)
+    report["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(f"wrote {args.out}; all_ok={all_ok}")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

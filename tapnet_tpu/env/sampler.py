@@ -56,11 +56,19 @@ def sample_instance(key, cfg: TAPConfig, flat=False) -> Instance:
     n_total = cfg.min_blocks + _umod(
         _bits(jax.random.fold_in(key, N_TOTAL_FOLD)), jnp.int32(span))
 
-    def body(carry, i):
+    # all split draws hoisted out of the scan in one batched threefry sweep
+    # (bit-identical schedule: fold_in(key, i) -> split(3) -> bits); the
+    # in-loop version re-derived keys per iteration and dominated the whole
+    # train step on TPU (9 sequential iterations x ~6 RNG ops each)
+    def draws(i):
+        kr, ka, kp = jax.random.split(jax.random.fold_in(key, i), 3)
+        return _bits(kr), _bits(ka), _bits(kp)
+
+    rbits = jax.vmap(draws)(jnp.arange(N - 1, dtype=jnp.int32))
+
+    def body(carry, x):
+        i, r_rect, r_axis, r_pos = x
         pos, size, n = carry
-        ki = jax.random.fold_in(key, i)
-        kr, ka, kp = jax.random.split(ki, 3)
-        r_rect, r_axis, r_pos = _bits(kr), _bits(ka), _bits(kp)
         active = i < n_total - 1
 
         valid = jnp.arange(N, dtype=jnp.int32) < n
@@ -86,7 +94,8 @@ def sample_instance(key, cfg: TAPConfig, flat=False) -> Instance:
         return (pos, size, n), None
 
     (pos, size, _), _ = jax.lax.scan(
-        body, (pos, size, jnp.int32(1)), jnp.arange(N - 1, dtype=jnp.int32))
+        body, (pos, size, jnp.int32(1)),
+        (jnp.arange(N - 1, dtype=jnp.int32),) + tuple(rbits))
 
     up = build_up_edges(size, pos, n_total)
     rot = build_rot_edges(size, pos, n_total, cfg)

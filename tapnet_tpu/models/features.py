@@ -97,6 +97,18 @@ def heightmap_grid(heightmap: jax.Array, cfg: TAPConfig) -> jax.Array:
     return (heightmap.astype(jnp.float32) / s)[..., None]
 
 
+def merge_tokens(static: jax.Array, dynamic: jax.Array) -> jax.Array:
+    """Append static dims features to dynamic tokens (broadcast over any
+    extra leading axes of `dynamic`, e.g. the replay's decode-step axis).
+
+    The actor's narrow per-step dyn MLP consumes the merged tokens so it
+    can model static x dynamic interactions without re-running the deep
+    static encoder per decode row (models/tapnet.py round-3 design)."""
+    target = dynamic.shape[:-1] + static.shape[-1:]
+    return jnp.concatenate([dynamic, jnp.broadcast_to(static, target)],
+                           axis=-1)
+
+
 def build_tokens(instance: Instance, state: EnvState, cfg: TAPConfig):
     """(static [T,4], dynamic [T,4], heightmap [C,Wt,Dt,1]) for one instance."""
     return (static_tokens(instance, cfg),

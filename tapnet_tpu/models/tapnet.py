@@ -1,33 +1,38 @@
 """TAP-Net actor (pointer network) and critic, flax.linen.
 
 Reference shape (SURVEY.md §2.1, `model.py` DRL/Encoder/Attention/Pointer +
-StateCritic, unverified names): conv1d embeddings of static dims + dynamic
-flags, a heightmap CNN encoder, and an attention decoder conditioned on the
-decode history, emitting a pointer distribution over
-block×rotation(×container) with infeasible logits masked.
+StateCritic, unverified names): embeddings of static block dims + dynamic
+packed/accessible flags, a heightmap encoder for target-container state, and
+an attention decoder conditioned on the decode history, emitting a pointer
+distribution over block×rotation(×container) with infeasible logits masked.
 
-TPU-first re-design:
-- token grid [T = N·R, h] through dense residual blocks (MXU matmuls, no
-  recurrence); the static-dims embedding is exposed separately
-  (`embed_static`) so rollout/replay callers hoist it out of the decode loop
-  — it never changes across steps;
+TPU-first re-design (round 3, driven by the measured roofline):
+- chained [B·N·T, h] GEMMs on a v5e are HBM-bandwidth-bound at ~0.28 ms per
+  GEMM+activation (bench: 409600×128 @ 128×128 bf16 chains hit ~750 GB/s),
+  so the ROUND-2 design — a deep residual encoder over (static ⊕ dynamic)
+  tokens re-run at every decode step and for every replayed row — was the
+  whole train-step bottleneck (PROFILE.md r2: replay_grad 11.7/25.5 ms);
+- the deep residual encoder therefore runs ONCE per instance, on STATIC
+  tokens only (`embed_static`, hoisted out of the decode loop and shared by
+  rollout and replay);
+- per-step dynamic state (packed/accessible/window flags) enters ADDITIVELY
+  inside the attention: score[t,c] = v·tanh(key_t + dyn_t + q_c), the
+  classic pointer-decoder structure (static keys + dynamic decoder state).
+  Per decode row this costs one tiny 4→h GEMM plus the fused
+  add/tanh/reduce chain — bytes, not depth;
 - target-container state through a dense encoder over the flattened [W, D]
   heightmap grid (the reference's heightmap-CNN row re-shaped for the MXU:
-  tiny one-channel grids never tile onto the systolic array, so the conv
-  stack is replaced by GEMMs with a global receptive field) + max/mean
-  summaries;
-- decode history enters as an embedding of the previously selected action
-  (the reference decoder's last-selected-block conditioning) — a lookup, not
-  a recurrence, so replay stays embarrassingly parallel over decode steps;
-- additive (Bahdanau) attention scores as one batched matmul.
+  tiny one-channel grids never tile onto the systolic array);
+- decode history as an embedding of the previously selected action — a
+  lookup, not a recurrence, so replay stays embarrassingly parallel.
 
-The whole per-step forward is a handful of [T, h] GEMMs that XLA fuses; the
-decode loop lives in the caller's lax.scan.
+The decode loop lives in the caller's lax.scan; everything per-step is a
+handful of bandwidth-light fused ops.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -37,35 +42,25 @@ from tapnet_tpu.config import TAPConfig
 
 
 class _TokenEncoder(nn.Module):
-    """Residual MLP over (block, rot) tokens; static embedding split out."""
+    """Residual MLP over per-(block, rot) STATIC tokens -> [..., T, h].
+
+    Runs once per instance; the decode loop and the replay never re-enter
+    it (the round-2 version also mixed per-step dynamic features here,
+    which re-ran the whole stack for every decode row — bandwidth-bound)."""
 
     hidden: int
     blocks: int = 2
     dtype: Any = jnp.float32
 
-    def setup(self):
-        self.static_proj = nn.Dense(self.hidden, dtype=self.dtype)
-        self.dynamic_proj = nn.Dense(self.hidden, dtype=self.dtype)
-        self.norms = [nn.LayerNorm(dtype=self.dtype)
-                      for _ in range(self.blocks)]
-        self.ff1 = [nn.Dense(self.hidden, dtype=self.dtype)
-                    for _ in range(self.blocks)]
-        self.ff2 = [nn.Dense(self.hidden, dtype=self.dtype)
-                    for _ in range(self.blocks)]
-
-    def embed_static(self, static):  # [..., T, F] -> [..., T, h]
-        return self.static_proj(static)
-
-    def finish(self, static_emb, dynamic):  # -> [..., T, h]
-        x = static_emb + self.dynamic_proj(dynamic)
-        for norm, f1, f2 in zip(self.norms, self.ff1, self.ff2):
-            y = norm(x)
-            y = f2(nn.relu(f1(y)))
+    @nn.compact
+    def __call__(self, static):
+        x = nn.Dense(self.hidden, dtype=self.dtype)(static.astype(self.dtype))
+        for _ in range(self.blocks):
+            y = nn.LayerNorm(dtype=self.dtype)(x)
+            y = nn.Dense(self.hidden, dtype=self.dtype)(
+                nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(y)))
             x = x + y
         return x
-
-    def __call__(self, static, dynamic):
-        return self.finish(self.embed_static(static), dynamic)
 
 
 class _HeightmapEncoder(nn.Module):
@@ -75,12 +70,11 @@ class _HeightmapEncoder(nn.Module):
 
     The reference's heightmap encoder row is a CNN; target grids here are
     tiny (W*D <= a few hundred cells), so a 3x3 conv stack with one input
-    channel never engages the MXU and bounded the whole replay backward at
-    ~5% MFU (round-2 PROFILE.md: replay_grad 11.7 of 25.5 ms). Two dense
-    layers over the flattened grid have a global receptive field and batch
-    into MXU-shaped GEMMs over (batch x decode-step x container) rows;
-    global max/mean scalars are kept as explicit summaries of the conv
-    version's pooling.
+    channel never engages the MXU and bounded the replay backward at ~5%
+    MFU (round-2 PROFILE.md). Two dense layers over the flattened grid have
+    a global receptive field and batch into MXU-shaped GEMMs over
+    (batch x decode-step x container) rows; global max/mean scalars are
+    kept as explicit summaries of the conv version's pooling.
     """
 
     hidden: int
@@ -108,29 +102,43 @@ class TAPNetActor(nn.Module):
 
     def setup(self):
         self.token_enc = _TokenEncoder(self.hidden, dtype=self.dtype)
+        self.key_proj = nn.Dense(self.hidden, use_bias=False,
+                                 dtype=self.dtype)
+        # narrow nonlinear path for the 4 dynamic flags: interactions like
+        # accessible∧in-window need a hidden layer, but a full-width stack
+        # re-run per decode row is what round 2 proved bandwidth-bound —
+        # 32 hidden units keep the replayed intermediate at ~1/4 the bytes
+        self.dyn_hidden = nn.Dense(32, dtype=self.dtype)
+        self.dyn_proj = nn.Dense(self.hidden, use_bias=False,
+                                 dtype=self.dtype)
         self.hm_enc = _HeightmapEncoder(self.hidden, dtype=self.dtype)
         # decode history: embedding of the previous action; index 0 = "start"
         self.prev_embed = nn.Embed(self.cfg.num_actions + 1, self.hidden,
                                    dtype=self.dtype)
         self.query = nn.Dense(self.hidden, dtype=self.dtype)
-        self.key_proj = nn.Dense(self.hidden, use_bias=False,
-                                 dtype=self.dtype)
         self.v = self.param("v", nn.initializers.lecun_normal(),
                             (self.hidden, 1))
 
     def embed_static(self, static):
-        """Hoistable static-dims embedding [T, F] -> [T, h]."""
-        return self.token_enc.embed_static(static)
+        """Hoistable static attention keys [T, F] -> [T, h].
+
+        The full residual encoder + key projection — everything that
+        depends only on the instance, computed once and reused by every
+        decode step and every replay row."""
+        return self.key_proj(self.token_enc(static))
 
     def head(self, static_emb, dynamic, hm_grid, prev_action=None):
-        """Pointer logits from a precomputed static embedding.
+        """Pointer logits from precomputed static keys.
 
-        static_emb [T, h], dynamic [T, Fd], hm_grid [C, W, D, 1],
-        prev_action int32 scalar in [-1, A) (-1 / None = decode start).
+        static_emb [T, h] (embed_static), dynamic [T, Fd] — the per-step
+        dynamic flags with the raw static dims features appended
+        (merge_tokens), so the narrow dyn MLP sees static×dynamic
+        interactions — hm_grid [C, W, D, 1], prev_action int32 scalar in
+        [-1, A) (-1 / None = decode start).
         """
         cfg = self.cfg
-        tok = self.token_enc.finish(static_emb.astype(self.dtype),
-                                    dynamic.astype(self.dtype))  # [T, h]
+        dyn = self.dyn_proj(
+            nn.relu(self.dyn_hidden(dynamic.astype(self.dtype))))  # [T, h]
         hm = self.hm_enc(hm_grid)                              # [C, h]
 
         if prev_action is None:
@@ -138,24 +146,27 @@ class TAPNetActor(nn.Module):
         prev = self.prev_embed(jnp.clip(prev_action + 1, 0,
                                         cfg.num_actions))      # [h]
 
-        ctx = tok.mean(axis=0)                                 # [h]
+        ctx = static_emb.mean(axis=0)                          # [h]
+        dsum = dynamic.astype(self.dtype).mean(axis=0)         # [Fd]
         qin = jnp.concatenate([
             hm,
             jnp.broadcast_to(ctx[None], hm.shape),
             jnp.broadcast_to(prev[None], hm.shape),
-        ], axis=-1)                                            # [C, 3h]
+            jnp.broadcast_to(dsum[None], hm.shape[:-1] + dsum.shape),
+        ], axis=-1)                                            # [C, 3h+Fd]
         q = self.query(qin)                                    # [C, h]
 
-        # additive attention: score[t, c] = v . tanh(W tok_t + q_c)
-        wt = self.key_proj(tok)                                # [T, h]
-        act = jnp.tanh(wt[:, None, :] + q[None, :, :])         # [T, C, h]
+        # additive attention: score[t, c] = v . tanh(key_t + dyn_t + q_c)
+        act = jnp.tanh(static_emb[:, None, :] + dyn[:, None, :]
+                       + q[None, :, :])                        # [T, C, h]
         scores = (act @ self.v.astype(self.dtype))[..., 0]     # [T, C]
         # [T, C] -> [N, R, C] -> flat [A]; logits always fp32 (softmax /
         # masking / sampling run in full precision regardless of dtype)
         return scores.reshape(cfg.num_actions).astype(jnp.float32)
 
     def __call__(self, static, dynamic, hm_grid, prev_action=None):
-        return self.head(self.embed_static(static), dynamic, hm_grid,
+        merged = jnp.concatenate([dynamic, static], axis=-1)
+        return self.head(self.embed_static(static), merged, hm_grid,
                          prev_action)
 
     def logits(self, params, static, dynamic, hm_grid, prev_action=None):
@@ -163,7 +174,12 @@ class TAPNetActor(nn.Module):
 
 
 class TAPNetCritic(nn.Module):
-    """State-value baseline over the same encoded state."""
+    """State-value baseline over the same encoded state.
+
+    One fused (static ⊕ dynamic) token projection + pooling: the critic
+    reads the reset state once per train step, so a deep per-token stack
+    (13% of the round-2 step) bought nothing the pooled MLP doesn't.
+    """
 
     cfg: TAPConfig
     hidden: int = 128
@@ -171,15 +187,17 @@ class TAPNetCritic(nn.Module):
 
     @nn.compact
     def __call__(self, static, dynamic, hm_grid):
-        tok = _TokenEncoder(self.hidden, name="token_enc",
-                            dtype=self.dtype)(static.astype(self.dtype),
-                                              dynamic.astype(self.dtype))
+        x = jnp.concatenate([static, dynamic], axis=-1).astype(self.dtype)
+        tok = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))  # [T, h]
         hm = _HeightmapEncoder(self.hidden, name="hm_enc",
-                               dtype=self.dtype)(hm_grid)
-        x = jnp.concatenate([tok.mean(axis=0), hm.mean(axis=0)])
-        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(x))
-        return nn.Dense(1, dtype=self.dtype)(x)[0].astype(jnp.float32)
+                               dtype=self.dtype)(hm_grid)          # [C, h]
+        # mean AND max pooling: the value of an instance depends on dims
+        # distribution extremes (e.g. flat-vs-3D streams), not just means
+        z = jnp.concatenate([tok.mean(axis=-2), tok.max(axis=-2),
+                             hm.mean(axis=-2), hm.max(axis=-2)], axis=-1)
+        z = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(z))
+        z = nn.relu(nn.Dense(self.hidden, dtype=self.dtype)(z))
+        return nn.Dense(1, dtype=self.dtype)(z)[0].astype(jnp.float32)
 
 
 def init_params(key, cfg: TAPConfig, hidden: int = 128) -> dict[str, Any]:

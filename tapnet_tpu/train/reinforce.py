@@ -55,7 +55,7 @@ def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
     states, record, _ = rollout_batch_record(
         jax.lax.stop_gradient(params["actor"]), instances, keys, cfg, hidden,
         greedy=False, temperature=temperature, dtype=dtype,
-        step_kernel=step_kernel, mesh=mesh, axis=axis)
+        step_kernel=step_kernel, mesh=mesh, axis=axis, with_logp=False)
     record = jax.lax.stop_gradient(record)
 
     # 2. Replay: differentiable log-probs of the recorded actions, all B*N

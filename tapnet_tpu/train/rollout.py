@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from tapnet_tpu.config import TAPConfig
 from tapnet_tpu.env import core as E
 from tapnet_tpu.models.features import (dynamic_flags, heightmap_grid,
-                                        static_tokens, tokens_from_flags)
+                                        merge_tokens, static_tokens,
+                                        tokens_from_flags)
 from tapnet_tpu.models.tapnet import TAPNetActor
 from tapnet_tpu.types import EnvState, Instance
 
@@ -57,13 +58,16 @@ def rollout_batch_record(actor_params, instances: Instance, keys,
                          greedy: bool = False, temperature: float = 1.0,
                          dtype=jnp.float32, step_kernel=None,
                          interpret: bool = False, mesh=None,
-                         axis: str = "data"):
+                         axis: str = "data", with_logp: bool = True):
     """Roll a batch with the actor; returns (states, RolloutRecord, logp_sum).
 
     Sampling is Gumbel-argmax over masked logits (identical in law to
     categorical sampling), with the exact per-instance threefry schedule
-    gumbel(fold_in(keys[b], t)). logp_sum is computed inline (non-diff
-    convenience for eval); training recomputes it via replay_logp_sum.
+    gumbel(fold_in(keys[b], t)) — all N draws precomputed OUTSIDE the decode
+    scan (bit-identical values, ~5 fewer ops per step). logp_sum is computed
+    inline (non-diff convenience for eval); training recomputes it via
+    replay_logp_sum and passes with_logp=False so the scan carry does no
+    dead log-softmax work (carried values are not DCE-able).
 
     step_kernel: fuse everything between actor calls into one Pallas kernel
     per decode step (ops.pallas_policy_step; bit-exact vs the general path).
@@ -81,31 +85,44 @@ def rollout_batch_record(actor_params, instances: Instance, keys,
     if step_kernel:
         return _rollout_record_stepfused(actor_params, instances, keys, cfg,
                                          hidden, greedy, temperature, dtype,
-                                         interpret, mesh, axis)
+                                         interpret, mesh, axis, with_logp)
     return _rollout_record_general(actor_params, instances, keys, cfg,
-                                   hidden, greedy, temperature, dtype)
+                                   hidden, greedy, temperature, dtype,
+                                   with_logp)
+
+
+def _gumbel_all(keys, cfg: TAPConfig):
+    """All decode-step gumbel draws [N, B, A]: gumbel(fold_in(keys[b], t)),
+    the same per-step schedule the scan body used to draw inline."""
+    ts = jnp.arange(cfg.num_blocks, dtype=jnp.int32)
+    g = jax.vmap(lambda k: jax.vmap(lambda t: jax.random.gumbel(
+        jax.random.fold_in(k, t), (cfg.num_actions,)))(ts))(keys)
+    return jnp.swapaxes(g, 0, 1)
 
 
 def _rollout_record_general(actor_params, instances: Instance, keys,
                             cfg: TAPConfig, hidden, greedy, temperature,
-                            dtype):
+                            dtype, with_logp=True):
     actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
     B = instances.dims.shape[0]
-    A = cfg.num_actions
 
     states0 = jax.vmap(lambda i: E.reset(i, cfg))(instances)
     static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)  # [B, T, F]
     static_emb = actor.apply(actor_params, static,
                              method=TAPNetActor.embed_static)      # [B, T, h]
+    ts = jnp.arange(cfg.num_blocks, dtype=jnp.int32)
+    xs = (ts, jnp.zeros((cfg.num_blocks, 1, 1)) if greedy
+          else _gumbel_all(keys, cfg))
 
-    def body(carry, t):
+    def body(carry, x):
+        t, g = x
         state, prev, logp_sum = carry
         mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
             state, instances)                                      # [B, A]
         flags = jax.vmap(lambda i, p: dynamic_flags(i, p, cfg))(
             instances, state.packed)                               # [B, nb] u8
-        dynamic = tokens_from_flags(flags, state.t / cfg.num_blocks,
-                                    cfg)                           # [B, T, F]
+        dynamic = merge_tokens(static, tokens_from_flags(
+            flags, state.t / cfg.num_blocks, cfg))                 # [B, T, F]
         hmg = heightmap_grid(state.heightmap, cfg)                 # [B,C,W,D,1]
         logits = jax.vmap(
             lambda se, dy, hg, pa: actor.apply(
@@ -115,13 +132,12 @@ def _rollout_record_general(actor_params, instances: Instance, keys,
         if greedy:
             a = jnp.argmax(masked, axis=-1).astype(jnp.int32)
         else:
-            g = jax.vmap(lambda k: jax.random.gumbel(
-                jax.random.fold_in(k, t), (A,)))(keys)
             a = jnp.argmax(masked + g, axis=-1).astype(jnp.int32)
         valid = mask.any(axis=-1)
-        logp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
-                                   a[:, None], axis=-1)[:, 0]
-        logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
+        if with_logp:
+            logp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
+                                       a[:, None], axis=-1)[:, 0]
+            logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
         a = jnp.where(valid, a, -1)
         rec = RolloutRecord(flags=flags, heightmap=state.heightmap,
                             mask=mask, action=a)
@@ -130,14 +146,14 @@ def _rollout_record_general(actor_params, instances: Instance, keys,
         return (state, a, logp_sum), rec
 
     (states, _, logp_sum), record = jax.lax.scan(
-        body, (states0, jnp.full((B,), -1, jnp.int32), jnp.zeros(B)),
-        jnp.arange(cfg.num_blocks, dtype=jnp.int32))
+        body, (states0, jnp.full((B,), -1, jnp.int32), jnp.zeros(B)), xs)
     return states, record, logp_sum
 
 
 def _rollout_record_stepfused(actor_params, instances: Instance, keys,
                               cfg: TAPConfig, hidden, greedy, temperature,
-                              dtype, interpret, mesh=None, axis="data"):
+                              dtype, interpret, mesh=None, axis="data",
+                              with_logp=True):
     """Kernel-path twin of _rollout_record_general: batch-last env state
     carried through the scan; one ops.pallas_policy_step.select_step call
     replaces the ~40 small select/scan/update ops per decode step."""
@@ -159,7 +175,6 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
 
     actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
     B = instances.dims.shape[0]
-    A = cfg.num_actions
     N, W, D, C = (cfg.num_blocks, cfg.target_width, cfg.target_depth,
                   cfg.num_containers)
 
@@ -176,7 +191,11 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
     hm0 = jnp.zeros((C * W, D, B), jnp.int32)
     plc0 = jnp.full((N * 6, B), -1, jnp.int32)
 
-    def body(carry, t):
+    ts = jnp.arange(N, dtype=jnp.int32)
+    xs = (ts, jnp.zeros((N, 1, 1)) if greedy else _gumbel_all(keys, cfg))
+
+    def body(carry, x):
+        t, g = x
         packed_bl, hm_bl, plc_bl, prev, logp_sum = carry
         packed_bm = packed_bl.T.astype(bool)                     # [B, N]
         hm_bm = hm_bl.reshape(C, W, D, B).transpose(3, 0, 1, 2)  # [B,C,W,D]
@@ -186,36 +205,35 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
             state_bm, instances)                                 # [B, A]
         flags = jax.vmap(lambda i, p: dynamic_flags(i, p, cfg))(
             instances, packed_bm)                                # [B, nb] u8
-        dynamic = tokens_from_flags(flags, t / cfg.num_blocks, cfg)  # [B,T,F]
+        dynamic = merge_tokens(static, tokens_from_flags(
+            flags, t / cfg.num_blocks, cfg))                     # [B, T, F]
         hmg = heightmap_grid(hm_bm, cfg)
         logits = jax.vmap(
             lambda se, dy, hg, pa: actor.apply(
                 actor_params, se, dy, hg, pa, method=TAPNetActor.head)
         )(static_emb, dynamic, hmg, prev)                        # [B, A]
         masked = _masked_logits(logits, mask, temperature)
-        if greedy:
-            score = masked
-        else:
-            g = jax.vmap(lambda k: jax.random.gumbel(
-                jax.random.fold_in(k, t), (A,)))(keys)
-            score = masked + g
+        score = masked if greedy else masked + g
 
         packed_n, hm_n, plc_n, a = select_step(
             score.T, mask.T.astype(jnp.int32), packed_bl, hm_bl, plc_bl,
             dims_w, dims_d, dims_h)
 
-        valid = a >= 0
-        logp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
-                                   jnp.maximum(a, 0)[:, None], axis=-1)[:, 0]
-        logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
+        if with_logp:
+            valid = a >= 0
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(masked, axis=-1),
+                jnp.maximum(a, 0)[:, None], axis=-1)[:, 0]
+            logp_sum = logp_sum + jnp.where(valid, logp, 0.0)
         rec = RolloutRecord(flags=flags, heightmap=hm_bm,
                             mask=mask, action=a)
         return (packed_n, hm_n, plc_n, a, logp_sum), rec
 
+    import os
+    unroll = int(os.environ.get("TAPNET_ROLLOUT_UNROLL", "1"))
     (packed_f, hm_f, plc_f, _, logp_sum), record = jax.lax.scan(
         body, (packed0, hm0, plc0, jnp.full((B,), -1, jnp.int32),
-               jnp.zeros(B)),
-        jnp.arange(N, dtype=jnp.int32))
+               jnp.zeros(B)), xs, unroll=min(unroll, N))
 
     states = EnvState(
         heightmap=hm_f.reshape(C, W, D, B).transpose(3, 0, 1, 2),
@@ -274,9 +292,9 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
         to all-gather the whole replay record to every device (caught by
         tests/test_parallel.py::test_hlo_collective_audit_train_step)."""
         K = ts_c.shape[0]
-        dynamic = tokens_from_flags(
+        dynamic = merge_tokens(static, tokens_from_flags(
             flags_c, ts_c[:, None].astype(jnp.float32) / cfg.num_blocks,
-            cfg)                                              # [K, B, T, F]
+            cfg))                                             # [K, B, T, F]
         hmg = heightmap_grid(hm_c, cfg)                       # [K,B,C,W,D,1]
         se_nb = jnp.broadcast_to(se_emb[None], (K,) + se_emb.shape)
         logits = jax.vmap(jax.vmap(head_one))(se_nb, dynamic, hmg,

@@ -103,7 +103,7 @@ def test_tensor_parallel_forward_matches_replicated():
 
     params_tp = shard_params_tp(params, mesh)
     # kernels really are sharded over the model axis
-    leaf = params_tp["params"]["token_enc"]["static_proj"]["kernel"]
+    leaf = params_tp["params"]["token_enc"]["Dense_0"]["kernel"]
     assert leaf.sharding.spec == jax.sharding.PartitionSpec(None, "model")
     out = jax.jit(batched)(params_tp, static, dynamic, hm)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
