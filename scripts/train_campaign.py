@@ -48,7 +48,8 @@ def main():
             batch=plan["batch"], valid_batch=512, hidden=128, lr=5e-4,
             ckpt_dir=os.path.join(REPO, "ckpts", name),
             metrics_path=os.path.join(REPO, "runs", f"{name}.jsonl"),
-            mixed_p2d=plan.get("mixed_p2d", 0.0))
+            mixed_p2d=plan.get("mixed_p2d", 0.0),
+            steps_per_call=plan.get("steps_per_call", 8))
         print(f"=== {name}: {plan}", flush=True)
         ts = train(cfg, loop, resume=True)
         out = evaluate(ts.params, cfg, loop, baselines=True)

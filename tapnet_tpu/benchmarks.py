@@ -59,11 +59,16 @@ def _timed_windows(run_iter, iters: int, runs: int, steps_per_iter: float):
     return vals
 
 
-def _train_run(cfg, batch, hidden, iters, runs):
+def _train_run(cfg, batch, hidden, iters, runs, steps_per_call=8):
+    """steps_per_call=8: the production dispatch grouping (one lax.scan of
+    8 optimizer steps per call, train.reinforce.make_train_step) — host
+    dispatch over the TPU tunnel is ~1.3 ms/call vs a ~4 ms device step,
+    so per-step dispatch would measure the host, not the chip."""
     from tapnet_tpu.train.reinforce import init_train_state, make_train_step
 
     ts = init_train_state(jax.random.key(0), cfg, hidden=hidden)
-    step = make_train_step(cfg, batch=batch, hidden=hidden)
+    step = make_train_step(cfg, batch=batch, hidden=hidden,
+                           steps_per_call=steps_per_call)
     ts, m = step(ts)
     jax.block_until_ready(m)  # compile
     box = [ts]
@@ -72,7 +77,8 @@ def _train_run(cfg, batch, hidden, iters, runs):
         box[0], m = step(box[0])
         return m
 
-    return _timed_windows(run_iter, iters, runs, batch * cfg.num_blocks)
+    return _timed_windows(run_iter, iters, runs,
+                          batch * cfg.num_blocks * steps_per_call)
 
 
 def measure_train_steps_per_s(cfg, batch: int = 4096, hidden: int = 128,

@@ -37,66 +37,98 @@ def sample_instance(key, cfg: TAPConfig, flat=False) -> Instance:
 
     `flat` (bool, may be traced): SPEC.md §9 mixed sampling — generate a 2D
     (depth-1, split axes (x, z)) instance inside a 3D env.
+
+    TPU layout note: the scan carries SIX per-axis [N] vectors instead of
+    [N, 3] matrices, and selects rows via one-hot reductions instead of
+    traced gathers/scatters. Under vmap a [B, N, 3] carry tiles its (N, 3)
+    minor dims to (8, 128) — a ~68x physical inflation that made this loop
+    dominate the whole train step (6 of 12 ms at batch 4096); [B, N]
+    vectors pad only the lane dim. All split draws are hoisted out of the
+    scan in one batched threefry sweep (bit-identical schedule:
+    fold_in(key, i) -> split(3) -> bits).
     """
     N = cfg.num_blocks
     flat = jnp.asarray(flat)
-    axes_enabled = jnp.array([ax in cfg.split_axes for ax in range(3)])
-    # where-update, not .at[1].set: bool scatters miscompile on the TPU
-    # backend under vmap (see env/core.py step note)
-    axes_enabled = jnp.where(jnp.arange(3) == 1,
-                             axes_enabled & ~flat, axes_enabled)
+    en = [ax in cfg.split_axes for ax in range(3)]       # python bools
+    en1 = jnp.logical_and(en[1], ~flat)                  # y splits off if flat
 
-    pos = jnp.zeros((N, 3), jnp.int32)
     depth0 = jnp.where(flat, 1, cfg.container_depth).astype(jnp.int32)
-    size = jnp.ones((N, 3), jnp.int32).at[0].set(
-        jnp.stack([jnp.int32(cfg.container_width), depth0,
-                   jnp.int32(cfg.container_height)]))
+    zero = jnp.zeros((N,), jnp.int32)
+    row0 = jnp.arange(N, dtype=jnp.int32) == 0
+    ones = jnp.ones((N,), jnp.int32)
+    sx = jnp.where(row0, jnp.int32(cfg.container_width), ones)
+    sy = jnp.where(row0, depth0, ones)
+    sz = jnp.where(row0, jnp.int32(cfg.container_height), ones)
+    px, py, pz = zero, zero, zero
 
     span = cfg.num_blocks - cfg.min_blocks + 1
     n_total = cfg.min_blocks + _umod(
         _bits(jax.random.fold_in(key, N_TOTAL_FOLD)), jnp.int32(span))
 
-    # all split draws hoisted out of the scan in one batched threefry sweep
-    # (bit-identical schedule: fold_in(key, i) -> split(3) -> bits); the
-    # in-loop version re-derived keys per iteration and dominated the whole
-    # train step on TPU (9 sequential iterations x ~6 RNG ops each)
     def draws(i):
         kr, ka, kp = jax.random.split(jax.random.fold_in(key, i), 3)
         return _bits(kr), _bits(ka), _bits(kp)
 
     rbits = jax.vmap(draws)(jnp.arange(N - 1, dtype=jnp.int32))
+    iota = jnp.arange(N, dtype=jnp.int32)
 
     def body(carry, x):
         i, r_rect, r_axis, r_pos = x
-        pos, size, n = carry
+        px, py, pz, sx, sy, sz, n = carry
         active = i < n_total - 1
 
-        valid = jnp.arange(N, dtype=jnp.int32) < n
-        splittable = valid & ((size >= 2) & axes_enabled).any(axis=1)
+        valid = iota < n
+        can0 = (sx >= 2) if en[0] else jnp.zeros((N,), bool)
+        can1 = (sy >= 2) & en1
+        can2 = (sz >= 2) if en[2] else jnp.zeros((N,), bool)
+        splittable = valid & (can0 | can1 | can2)
         m = splittable.sum().astype(jnp.int32)
-        j = _nth_true(splittable, _umod(r_rect, jnp.maximum(m, 1)))
+        sel = _umod(r_rect, jnp.maximum(m, 1))
+        rank = jnp.cumsum(splittable.astype(jnp.int32)) - splittable
+        j_oh = splittable & (rank == sel)                # one-hot row j
 
-        axes_ok = (size[j] >= 2) & axes_enabled
-        na = axes_ok.sum().astype(jnp.int32)
-        axis = _nth_true(axes_ok, _umod(r_axis, jnp.maximum(na, 1)))
+        pick = lambda a: jnp.sum(jnp.where(j_oh, a, 0))
+        sxj, syj, szj = pick(sx), pick(sy), pick(sz)
+        pxj, pyj, pzj = pick(px), pick(py), pick(pz)
 
-        s = size[j, axis]
+        a0 = (sxj >= 2) if en[0] else jnp.bool_(False)
+        a1 = (syj >= 2) & en1
+        a2 = (szj >= 2) if en[2] else jnp.bool_(False)
+        na = (a0.astype(jnp.int32) + a1.astype(jnp.int32)
+              + a2.astype(jnp.int32))
+        sela = _umod(r_axis, jnp.maximum(na, 1))
+        r1 = a0.astype(jnp.int32)
+        r2 = r1 + a1.astype(jnp.int32)
+        is0 = a0 & (sela == 0)
+        is1 = a1 & (r1 == sela)
+        is2 = a2 & (r2 == sela)
+
+        s = (jnp.where(is0, sxj, 0) + jnp.where(is1, syj, 0)
+             + jnp.where(is2, szj, 0))
         cut = 1 + _umod(r_pos, jnp.maximum(s - 1, 1))
 
-        new_pos = pos[j].at[axis].add(cut)
-        new_size = size[j].at[axis].set(s - cut)
-        pos2 = pos.at[n].set(new_pos)
-        size2 = size.at[j, axis].set(cut).at[n].set(new_size)
+        n_oh = (iota == n) & active
+        j_act = j_oh & active
+        # size[j, axis] = cut
+        sx = jnp.where(j_act & is0, cut, sx)
+        sy = jnp.where(j_act & is1, cut, sy)
+        sz = jnp.where(j_act & is2, cut, sz)
+        # row n: pos = pos[j] + axis*cut; size = size[j] with axis -> s-cut
+        px = jnp.where(n_oh, pxj + jnp.where(is0, cut, 0), px)
+        py = jnp.where(n_oh, pyj + jnp.where(is1, cut, 0), py)
+        pz = jnp.where(n_oh, pzj + jnp.where(is2, cut, 0), pz)
+        sx = jnp.where(n_oh, jnp.where(is0, s - cut, sxj), sx)
+        sy = jnp.where(n_oh, jnp.where(is1, s - cut, syj), sy)
+        sz = jnp.where(n_oh, jnp.where(is2, s - cut, szj), sz)
+        n = n + active.astype(jnp.int32)
+        return (px, py, pz, sx, sy, sz, n), None
 
-        pos = jnp.where(active, pos2, pos)
-        size = jnp.where(active, size2, size)
-        n = jnp.where(active, n + 1, n)
-        return (pos, size, n), None
-
-    (pos, size, _), _ = jax.lax.scan(
-        body, (pos, size, jnp.int32(1)),
+    (px, py, pz, sx, sy, sz, _), _ = jax.lax.scan(
+        body, (px, py, pz, sx, sy, sz, jnp.int32(1)),
         (jnp.arange(N - 1, dtype=jnp.int32),) + tuple(rbits))
 
+    pos = jnp.stack([px, py, pz], axis=-1)
+    size = jnp.stack([sx, sy, sz], axis=-1)
     up = build_up_edges(size, pos, n_total)
     rot = build_rot_edges(size, pos, n_total, cfg)
     return Instance(dims=size, pos0=pos, n_total=n_total, up=up, rot=rot)

@@ -104,12 +104,20 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
                     temperature: float = 1.0, critic_weight: float = 1.0,
                     mesh=None, axis: str = "data", use_pallas=None,
                     from_dataset: bool = False, compute_dtype=None,
-                    mixed_p2d: float = 0.0):
+                    mixed_p2d: float = 0.0, steps_per_call: int = 1):
     """Build the jitted train step: TrainState -> (TrainState, metrics).
 
     mixed_p2d > 0 (3D envs only) samples each on-device instance as flat/2D
     (depth-1 blocks) with that probability — driver config 5's mixed 2D/3D
     batch (BASELINE.json; env.sampler.sample_batch_mixed).
+
+    steps_per_call > 1 runs that many optimizer steps per dispatch as one
+    lax.scan (body traced/compiled once): per-call host dispatch is ~1.3 ms
+    over the TPU tunnel while the on-device step is ~4 ms, so batching
+    dispatches amortizes the host out of the measurement and the training
+    loop alike. Metrics are from the LAST step of the group (same RNG
+    stream as steps_per_call=1: one fold per step). Incompatible with
+    from_dataset (the caller owns the batch stream there).
 
     With `mesh`, the on-device-sampled instance batch and per-instance action
     keys are sharded over the mesh's data axis (each device samples and rolls
@@ -180,5 +188,19 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
         return TrainState(params, opt_state, ts.step + 1, key), metrics
 
     if from_dataset:
+        assert steps_per_call == 1, "steps_per_call needs on-device sampling"
         return train_step
-    return lambda ts: train_step(ts)
+    if steps_per_call == 1:
+        return lambda ts: train_step(ts)
+
+    @jax.jit
+    def train_steps(ts: TrainState):
+        def body(ts, _):
+            return train_step(ts)
+        return jax.lax.scan(body, ts, None, length=steps_per_call)
+
+    def run(ts: TrainState):
+        ts, ms = train_steps(ts)
+        return ts, jax.tree.map(lambda x: x[-1], ms)
+
+    return run

@@ -39,6 +39,7 @@ class TrainLoopConfig:
     metrics_path: Optional[str] = None
     trace_dir: Optional[str] = None   # capture a profiler trace of epoch 0
     mixed_p2d: float = 0.0            # P(instance is flat/2D); 3D envs only
+    steps_per_call: int = 1           # optimizer steps per dispatch (scan)
 
 
 def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
@@ -99,9 +100,11 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
         from tapnet_tpu.parallel.mesh import put_replicated
         ts = put_replicated(ts, mesh)
 
+    spc = max(1, loop.steps_per_call)
     train_step = make_train_step(cfg, loop.batch, loop.hidden, loop.lr,
                                  loop.clip, loop.temperature, mesh=mesh,
-                                 mixed_p2d=loop.mixed_p2d)
+                                 mixed_p2d=loop.mixed_p2d,
+                                 steps_per_call=spc)
     total = loop.epochs * loop.steps_per_epoch
     sps = StepsPerSecond(loop.batch * cfg.num_blocks)
     traced = False
@@ -120,10 +123,11 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
                 jax.block_until_ready(metrics)
             n_steps = loop.steps_per_epoch - int(ts.step) % loop.steps_per_epoch
         sps.reset()
-        for _ in range(n_steps - 1):
+        calls = max(0, (n_steps - 1) // spc)
+        for _ in range(calls):
             ts, metrics = train_step(ts)
         jax.block_until_ready(metrics)
-        sps.update(n_steps - 1)
+        sps.update(calls * spc)
         with annotate("evaluate"):
             valid = evaluate(ts.params, cfg, loop)
         logger.log(int(ts.step), metrics, epoch=epoch, **sps.metrics(),
