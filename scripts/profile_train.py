@@ -36,6 +36,7 @@ def main():
     p.add_argument("--config", default="2d-basic")
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--steps-per-call", type=int, default=8, dest="steps_per_call")
     p.add_argument("--trace-dir", default=None)
     p.add_argument("--out", default=None, help="write markdown report here")
     args = p.parse_args()
@@ -62,6 +63,15 @@ def main():
     ts = init_train_state(key, cfg, hidden)
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    # --- full fused step FIRST (phase warmups pollute allocator state and
+    #     inflate the fused measurement by up to 2x if measured after) ------
+    step1 = make_train_step(cfg, B, hidden)
+    ts1, _ = step1(ts)
+    t_full = timed(step1, ts1, iters=10)
+    stepK = make_train_step(cfg, B, hidden, steps_per_call=args.steps_per_call)
+    tsK, _ = stepK(ts)
+    t_grouped = timed(stepK, tsK, iters=5) / args.steps_per_call
 
     # --- phase 1: on-device instance sampling -------------------------------
     @jax.jit
@@ -117,11 +127,6 @@ def main():
 
     t_reward = timed(phase_reward, states, instances)
 
-    # --- full fused step -----------------------------------------------------
-    step = make_train_step(cfg, B, hidden)
-    ts2, _ = step(ts)
-    t_full = timed(step, ts2, iters=10)
-
     env_steps = B * cfg.num_blocks
     phases = {
         "sample": t_sample, "rollout": t_rollout,
@@ -132,7 +137,9 @@ def main():
         "config": args.config, "batch": B, "hidden": hidden,
         "backend": jax.default_backend(),
         "full_step_ms": round(t_full, 2),
-        "train_env_steps_per_s": round(env_steps / (t_full / 1e3), 1),
+        "grouped_step_ms": round(t_grouped, 2),
+        "steps_per_call": args.steps_per_call,
+        "train_env_steps_per_s": round(env_steps / (t_grouped / 1e3), 1),
         "phases_ms": {k: round(v, 2) for k, v in phases.items()},
         "phases_sum_ms": round(sum(phases.values()), 2),
     }
@@ -143,7 +150,7 @@ def main():
         with jax.profiler.trace(args.trace_dir):
             for _ in range(3):
                 with jax.profiler.TraceAnnotation("train_step"):
-                    ts2, m = step(ts2)
+                    ts1, m = step1(ts1)
             jax.block_until_ready(m)
         print(f"trace written to {args.trace_dir}", file=sys.stderr)
 
@@ -153,8 +160,11 @@ def main():
             "# Train-step profile — `%s` (batch %d, hidden %d, %s)" % (
                 args.config, B, hidden, jax.default_backend()),
             "",
-            "Full fused step: **%.2f ms** = **%s env-steps/s/chip**." % (
-                t_full, f"{env_steps / (t_full / 1e3):,.0f}"),
+            "Full fused step: **%.2f ms** single-dispatch, **%.2f ms**/step"
+            % (t_full, t_grouped),
+            "grouped %d steps/dispatch = **%s env-steps/s/chip**." % (
+                args.steps_per_call,
+                f"{env_steps / (t_grouped / 1e3):,.0f}"),
             "",
             "Isolated phases (each jitted + measured separately; the fused",
             "step overlaps/fuses some of them, so the sum ≠ the fused time):",

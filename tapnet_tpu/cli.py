@@ -90,6 +90,10 @@ def main(argv=None) -> int:
     p.add_argument("--mixed-p2d", type=float, default=0.0,
                    help="P(instance is flat/2D) for mixed 2D/3D batches "
                         "(driver config 5; 3D envs only)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   dest="steps_per_call",
+                   help="optimizer steps per dispatch (lax.scan group; "
+                        "8 amortizes host dispatch on TPU)")
 
     p = sub.add_parser("eval", help="greedy evaluation of a checkpoint")
     add_config_flags(p)
@@ -137,7 +141,7 @@ def main(argv=None) -> int:
             batch=args.batch, valid_batch=args.valid_batch,
             hidden=args.hidden, lr=args.lr, seed=args.seed,
             ckpt_dir=args.ckpt_dir, metrics_path=args.metrics,
-            mixed_p2d=args.mixed_p2d)
+            mixed_p2d=args.mixed_p2d, steps_per_call=args.steps_per_call)
         mesh = None
         if args.mesh:
             from tapnet_tpu.parallel import data_mesh
