@@ -6,6 +6,8 @@ the bit-exactness contract (SPEC.md) holds across the space, not just at the
 named points.
 """
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -41,9 +43,15 @@ def _random_cfg(rng: np.random.Generator) -> TAPConfig:
         reward_type=f"{terms}-{rule}-{variant}")
 
 
-@pytest.mark.parametrize("seed", range(12))
+# The fuzz matrix rotates by round (VERDICT r2 item 9): 6 seeds in the fast
+# suite keyed off TAPNET_FUZZ_ROUND (fresh geometry coverage each round,
+# stable within a round so the compile cache stays warm), 6 more under slow.
+ROUND = int(os.environ.get("TAPNET_FUZZ_ROUND", "3"))
+
+
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzzed_config_parity(seed):
-    rng = np.random.default_rng(1000 + seed)
+    rng = np.random.default_rng(1000 + 100 * ROUND + seed)
     cfg = _random_cfg(rng)
     B = 6
     key = jax.random.key(seed)
@@ -81,3 +89,9 @@ def test_fuzzed_config_parity(seed):
                                            rbits=rbits)
         assert np.array_equal(np.asarray(a_j), a_n), cfg
         assert np.array_equal(np.asarray(s_j.heightmap), s_n.heightmap), cfg
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(6, 12))
+def test_fuzzed_config_parity_extended(seed):
+    test_fuzzed_config_parity(seed)

@@ -45,12 +45,14 @@ def test_fused_rollout_parity_3d(name, policy):
     _assert_rollout_equal(cfg, B=24, policy=policy, seed=3)
 
 
+@pytest.mark.slow  # N=50 interpret-mode kernel; hardware gate: PARITY_TPU.json
 def test_fused_rollout_parity_rolling_window():
     cfg = CONFIGS["2d-rolling"]
     assert eligible(cfg)
     _assert_rollout_equal(cfg, B=12, policy="random", seed=5)
 
 
+@pytest.mark.slow  # see above
 def test_fused_rolling_window_3d():
     cfg = TAPConfig(dim=3, num_blocks=16, min_blocks=8, container_width=6,
                     container_depth=6, container_height=6, target_width=6,

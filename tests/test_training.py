@@ -1,5 +1,7 @@
 """Model + REINFORCE training tests (SURVEY.md §4 rebuild obligations)."""
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -238,7 +240,10 @@ def test_chunked_replay_matches_unchunked():
     from tapnet_tpu.train.rollout import (replay_logp_sum,
                                           rollout_batch_record)
 
-    cfg = CONFIGS["2d-rolling"]
+    # rolling-like geometry at N=20: same chunking semantics as the 50-block
+    # driver config at a fraction of the CPU compile time (VERDICT r2 item 9)
+    cfg = dataclasses.replace(CONFIGS["2d-rolling"], num_blocks=20,
+                              min_blocks=12)
     B = 8
     key = jax.random.key(11)
     params = init_params(key, cfg, hidden=32)["actor"]
@@ -277,13 +282,13 @@ def test_mixed_stream_train_step_and_eval():
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
 
-    loop = TrainLoopConfig(hidden=32, valid_batch=64, mixed_p2d=0.5)
+    loop = TrainLoopConfig(hidden=32, valid_batch=32, mixed_p2d=0.5)
     out = evaluate(ts.params, cfg, loop, baselines=True)
     assert 0.1 < float(out["valid_2d_frac"]) < 0.9
     fr = [float(out[f"valid_container{c}_frac"]) for c in range(2)]
     assert abs(sum(fr) - 1.0) < 1e-6
     out3d = evaluate(ts.params, cfg,
-                     TrainLoopConfig(hidden=32, valid_batch=64),
+                     TrainLoopConfig(hidden=32, valid_batch=32),
                      baselines=True)
     assert float(out3d["first_reward"]) != float(out["first_reward"])
 
