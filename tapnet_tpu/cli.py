@@ -84,6 +84,8 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--metrics", default=None, help="metrics JSONL path")
+    p.add_argument("--tb-dir", default=None, dest="tb_dir",
+                   help="also write TensorBoard scalar summaries here")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all local devices")
@@ -141,7 +143,8 @@ def main(argv=None) -> int:
             batch=args.batch, valid_batch=args.valid_batch,
             hidden=args.hidden, lr=args.lr, seed=args.seed,
             ckpt_dir=args.ckpt_dir, metrics_path=args.metrics,
-            mixed_p2d=args.mixed_p2d, steps_per_call=args.steps_per_call)
+            mixed_p2d=args.mixed_p2d, steps_per_call=args.steps_per_call,
+            tb_dir=args.tb_dir)
         mesh = None
         if args.mesh:
             from tapnet_tpu.parallel import data_mesh

@@ -40,6 +40,7 @@ class TrainLoopConfig:
     trace_dir: Optional[str] = None   # capture a profiler trace of epoch 0
     mixed_p2d: float = 0.0            # P(instance is flat/2D); 3D envs only
     steps_per_call: int = 1           # optimizer steps per dispatch (scan)
+    tb_dir: Optional[str] = None      # TensorBoard scalar summaries dir
 
 
 def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
@@ -88,7 +89,7 @@ def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
 
 def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
           mesh=None) -> TrainState:
-    logger = MetricsLogger(loop.metrics_path)
+    logger = MetricsLogger(loop.metrics_path, tb_dir=loop.tb_dir)
     ts = init_train_state(jax.random.key(loop.seed), cfg, loop.hidden,
                           loop.lr, loop.clip)
     if resume and loop.ckpt_dir:

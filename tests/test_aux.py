@@ -114,3 +114,16 @@ def test_sharded_train_step_reduces_gradients():
     except Exception:
         pytest.skip("lowering through wrapper not supported")
     assert "all-reduce" in hlo
+
+
+def test_metrics_logger_tensorboard_scalars(tmp_path):
+    """SURVEY.md §5 metrics row: optional TensorBoard-format scalars."""
+    from tapnet_tpu.train.metrics import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path / "m.jsonl"), echo=False,
+                       tb_dir=str(tmp_path / "tb"))
+    lg.log(1, {"reward": 2.5})
+    lg.log(2, {"reward": 2.6})
+    lg.close()
+    events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0
