@@ -98,7 +98,16 @@ def measure_train_stats(cfg, batch: int = 4096, hidden: int = 128,
     return _stats(_train_run(cfg, batch, hidden, iters, runs), batch, iters)
 
 
-def _env_run(cfg, batch, iters, runs, fused):
+def _env_run(cfg, batch, iters, runs, fused, group=None):
+    """Rollout throughput with `group` rollouts per device dispatch.
+
+    Host dispatch over the TPU tunnel costs ~1 ms/call while a fused-kernel
+    rollout is ~50 us of device time, so per-rollout dispatch measures the
+    host, not the chip: each timed call runs a lax.scan of `group` rollouts
+    (distinct key batches; rewards+actions checksummed into the carry so no
+    work is dead). iters is the TOTAL rollout count per window.
+    """
+    import jax.numpy as jnp
     from tapnet_tpu.env import core as E
     from tapnet_tpu.env import sample_batch
     from tapnet_tpu.ops.pallas_env import eligible, fused_rollout_batch
@@ -108,20 +117,36 @@ def _env_run(cfg, batch, iters, runs, fused):
     run = (lambda b, k: fused_rollout_batch(b, k, cfg, policy="random")) \
         if fused else \
         (lambda b, k: E.rollout_batch(b, k, cfg, policy="random"))
+    if group is None:
+        # the tunnel runtime serializes dispatch with execution (no async
+        # overlap), so the fixed ~1 ms/call must be amortized by depth:
+        # 128 fused rollouts ~ 13-18 ms device per call (<10% overhead)
+        group = 128 if fused else 4
+    group = max(1, min(group, iters))
 
     key = jax.random.key(0)
     batch_inst = sample_batch(key, batch, cfg)
     jax.block_until_ready(batch_inst)
-    jax.block_until_ready(run(batch_inst, jax.random.split(key, batch)))
 
-    # pre-derive per-iteration key batches so host-side key construction is
-    # not measured; dispatches pipeline, block once per window
-    key_batches = [jax.random.split(jax.random.key(i + 1), batch)
-                   for i in range(iters * runs)]
-    jax.block_until_ready(key_batches)
+    @jax.jit
+    def call(b, keys_g):                      # keys_g [G, B] typed keys
+        def body(acc, k):
+            _, a, r = run(b, k)
+            return (acc[0] + r.sum(), acc[1] + a.sum()), None
+        acc, _ = jax.lax.scan(body, (jnp.float32(0), jnp.int32(0)), keys_g)
+        return acc
+
+    n_calls = max(1, iters // group)
+    key_groups = [
+        jnp.stack([jax.random.split(jax.random.key(1 + i * group + g), batch)
+                   for g in range(group)])
+        for i in range(n_calls * runs)]
+    jax.block_until_ready(key_groups)
+    jax.block_until_ready(call(batch_inst, key_groups[0]))  # compile
+
     steps_per_rollout = int(np.asarray(batch_inst.n_total).sum())
-    return _timed_windows(lambda i: run(batch_inst, key_batches[i]),
-                          iters, runs, steps_per_rollout)
+    return _timed_windows(lambda i: call(batch_inst, key_groups[i]),
+                          n_calls, runs, steps_per_rollout * group)
 
 
 def measure_env_steps_per_s(cfg, batch: int, iters: int = 10,

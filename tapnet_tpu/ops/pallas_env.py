@@ -98,7 +98,6 @@ def _kernel2d(cfg: TAPConfig):
         rbits = rbits_ref[:]            # [N, TB] uint32 (policy draws)
 
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, TB), 0)
-        iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, TB), 0)
         x_col = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0)
         o_x = jax.lax.broadcasted_iota(jnp.int32, (W, W, TB), 0)
         x_in = jax.lax.broadcasted_iota(jnp.int32, (W, W, TB), 1)
@@ -114,23 +113,35 @@ def _kernel2d(cfg: TAPConfig):
             blocked0 = jnp.max(up * unp[:, None, :], axis=0)     # [N, TB]
             acc0 = unp * real * (1 - blocked0)
             obs = _window_cut(acc0, cfg.window)
+            # Uniform selection decomposed over per-rotation [N, TB] masks.
+            # The round-2 version built a flat [A, TB] mask with an
+            # (N, R, C) -> A interleaving reshape + inverse every step —
+            # Mosaic lowers those as sublane shuffles, the 10x 2d-rot cliff
+            # (VERDICT r2 item 10). Action order (n-major, r, then c) is
+            # reproduced exactly: the mask is c-invariant, so the sel-th
+            # true action is pair (sel // C) with container (sel % C).
+            m0 = obs * (dims_w <= W)
             if R == 2:
                 blockedr = jnp.max(rot * unp[:, None, :], axis=0)
                 accr = obs * (1 - blockedr)
-                mask_nr = jnp.stack(
-                    [obs * (dims_w <= W), accr * (dims_h <= W)], axis=1)
+                m1 = accr * (dims_h <= W)
             else:
-                mask_nr = (obs * (dims_w <= W))[:, None, :]      # [N, 1, TB]
-            mask = jnp.broadcast_to(mask_nr[:, :, None, :],
-                                    (N, R, C, TB)).reshape(A, TB)
+                m1 = jnp.zeros_like(m0)
+            pairs = m0 + m1                                      # [N, TB]
+            count = jnp.sum(pairs, axis=0) * C                   # [TB]
+            valid = count > 0
+            sel = (rbits[t] % jnp.maximum(count, 1).astype(jnp.uint32)
+                   ).astype(jnp.int32)
+            sel_nr = sel // C
+            c_sel = (sel % C) if C > 1 else jnp.zeros((TB,), jnp.int32)
+            cum = _inclusive_prefix_sum(pairs) - pairs           # rank(n, 0)
+            oh0 = m0 * (cum == sel_nr[None]).astype(jnp.int32)
+            oh1 = m1 * ((cum + m0) == sel_nr[None]).astype(jnp.int32)
 
-            onehot, valid = _select_onehot(mask, rbits[t])
-
-            oh = onehot.reshape(N, R, C, TB)
-            ohb = jnp.sum(oh, axis=(1, 2))                       # [N, TB]
-            r_sel = (jnp.sum(oh[:, 1], axis=(0, 1)) if R == 2
+            ohb = oh0 + oh1                                      # [N, TB]
+            r_sel = (jnp.sum(oh1, axis=0) if R == 2
                      else jnp.zeros((TB,), jnp.int32))           # [TB]
-            ocs = [jnp.sum(oh[:, :, c], axis=(0, 1)) for c in range(C)]
+            ocs = [((c_sel == c) & valid).astype(jnp.int32) for c in range(C)]
             w_blk = jnp.sum(ohb * dims_w, axis=0)
             h_blk = jnp.sum(ohb * dims_h, axis=0)
             w_eff = jnp.where(r_sel == 1, h_blk, w_blk)          # [TB]
@@ -177,7 +188,8 @@ def _kernel2d(cfg: TAPConfig):
                                    (l_star + h_eff)[None], hms[c])
             packed = packed + ohb * do[None].astype(jnp.int32)
 
-            a_idx = jnp.sum(onehot * iota_a, axis=0)
+            a_idx = jnp.sum(oh0 * (iota_n * R) + oh1 * (iota_n * R + 1),
+                            axis=0) * C + c_sel
             # static-row update via where (scatter isn't lowered on TPU Pallas)
             actions = jnp.where(iota_n == t, jnp.where(do, a_idx, -1)[None],
                                 actions)
@@ -222,7 +234,6 @@ def _kernel3d(cfg: TAPConfig):
         rbits = rbits_ref[:]            # [N, TB] uint32
 
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, TB), 0)
-        iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, TB), 0)
         x_i = jax.lax.broadcasted_iota(jnp.int32, (W, D, TB), 0)
         y_i = jax.lax.broadcasted_iota(jnp.int32, (W, D, TB), 1)
         ox4 = jax.lax.broadcasted_iota(jnp.int32, (W, W, D, TB), 0)
@@ -254,24 +265,29 @@ def _kernel3d(cfg: TAPConfig):
             blocked0 = jnp.max(up * unp[:, None, :], axis=0)
             acc0 = unp * real * (1 - blocked0)
             obs = _window_cut(acc0, cfg.window)
+            # per-rotation selection decomposition — see the 2D kernel note
+            # (no flat [A, TB] interleave reshapes; identical action order)
+            m0 = obs * fits0
             if R == 2:
                 blockedr = jnp.max(rot * unp[:, None, :], axis=0)
-                mask_nr = jnp.stack(
-                    [obs * fits0, obs * (1 - blockedr) * fits1], axis=1)
+                m1 = obs * (1 - blockedr) * fits1
             else:
-                mask_nr = obs[:, None, :] * fits0[:, None, :]    # [N, 1, TB]
-            # broadcast over containers; flat order (b, r, c) matches
-            # cfg.compose_action
-            mask = jnp.broadcast_to(mask_nr[:, :, None, :],
-                                    (N, R, C, TB)).reshape(A, TB)
+                m1 = jnp.zeros_like(m0)
+            pairs = m0 + m1                                      # [N, TB]
+            count = jnp.sum(pairs, axis=0) * C                   # [TB]
+            valid = count > 0
+            sel = (rbits[t] % jnp.maximum(count, 1).astype(jnp.uint32)
+                   ).astype(jnp.int32)
+            sel_nr = sel // C
+            c_sel = (sel % C) if C > 1 else jnp.zeros((TB,), jnp.int32)
+            cum = _inclusive_prefix_sum(pairs) - pairs           # rank(n, 0)
+            oh0 = m0 * (cum == sel_nr[None]).astype(jnp.int32)
+            oh1 = m1 * ((cum + m0) == sel_nr[None]).astype(jnp.int32)
 
-            onehot, valid = _select_onehot(mask, rbits[t])
-
-            oh = onehot.reshape(N, R, C, TB)
-            ohb = jnp.sum(oh, axis=(1, 2))                       # [N, TB]
-            r_sel = (jnp.sum(oh[:, 1], axis=(0, 1)) if R == 2
+            ohb = oh0 + oh1                                      # [N, TB]
+            r_sel = (jnp.sum(oh1, axis=0) if R == 2
                      else jnp.zeros((TB,), jnp.int32))           # [TB]
-            ocs = [jnp.sum(oh[:, :, c], axis=(0, 1)) for c in range(C)]
+            ocs = [((c_sel == c) & valid).astype(jnp.int32) for c in range(C)]
 
             w_blk = jnp.sum(ohb * dims_w, axis=0)
             d_blk = jnp.sum(ohb * dims_d, axis=0)
@@ -349,7 +365,8 @@ def _kernel3d(cfg: TAPConfig):
                 hms[c] = jnp.where(fp & sel_c[None, None, :], top, hms[c])
             packed = packed + ohb * do[None].astype(jnp.int32)
 
-            a_idx = jnp.sum(onehot * iota_a, axis=0)
+            a_idx = jnp.sum(oh0 * (iota_n * R) + oh1 * (iota_n * R + 1),
+                            axis=0) * C + c_sel
             actions = jnp.where(iota_n == t, jnp.where(do, a_idx, -1)[None],
                                 actions)
 

@@ -54,6 +54,7 @@ def test_annotate_scope_runs():
         jax.block_until_ready(jnp.ones(4) * 2)
 
 
+@pytest.mark.slow
 def test_scaling_report_virtual_mesh():
     rows = scaling_report(TINY, device_counts=[1, 4], per_device_batch=4,
                           hidden=32, iters=2)
@@ -116,6 +117,7 @@ def test_sharded_train_step_reduces_gradients():
     assert "all-reduce" in hlo
 
 
+@pytest.mark.slow  # imports tensorflow (~7 s)
 def test_metrics_logger_tensorboard_scalars(tmp_path):
     """SURVEY.md §5 metrics row: optional TensorBoard-format scalars."""
     from tapnet_tpu.train.metrics import MetricsLogger

@@ -22,8 +22,12 @@ def _rbits(keys, N):
     return np.asarray(jax.vmap(draws)(keys))
 
 
-@pytest.mark.parametrize("name", list(CONFIGS))
-@pytest.mark.parametrize("policy", ["first", "random"])
+# "first" is a degenerate draw of the same selection code path; random covers
+# it and more, so the first-fit points run under -m slow
+@pytest.mark.parametrize("name,policy", [
+    pytest.param(n, pol,
+                 marks=([pytest.mark.slow] if pol == "first" else []))
+    for n in CONFIGS for pol in ("first", "random")])
 def test_native_matches_jax_env(name, policy):
     cfg = CONFIGS[name]
     B = 12

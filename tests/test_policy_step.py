@@ -41,8 +41,17 @@ CASES = {
 }
 
 
-@pytest.mark.parametrize("name", list(CASES))
-@pytest.mark.parametrize("greedy", [False, True])
+# greedy decode exercises the same kernel with a different score source, so
+# most greedy points add compile time, not coverage: two stay fast, the rest
+# run under -m slow (plus all on hardware via scripts/tpu_parity.py)
+_FAST_GREEDY = ("2d-basic", "3d-mcs")
+
+
+@pytest.mark.parametrize("name,greedy", [
+    pytest.param(n, g,
+                 marks=([pytest.mark.slow]
+                        if g and n not in _FAST_GREEDY else []))
+    for n in CASES for g in (False, True)])
 def test_stepfused_rollout_matches_general(name, greedy):
     cfg = CASES[name]
     assert PS.eligible(cfg)

@@ -234,6 +234,7 @@ def test_learning_improves_reward_other_configs(name, steps, margin):
     assert after > before + margin, (before, after)
 
 
+@pytest.mark.slow
 def test_chunked_replay_matches_unchunked():
     """Rematerialized chunked replay (memory fix for large-N configs) must
     give identical logp and gradients to the single-pass replay."""
