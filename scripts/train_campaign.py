@@ -22,7 +22,7 @@ PLANS = {
     "3d-basic": dict(epochs=40, steps_per_epoch=250, batch=1024),
     # full-length campaign at batch 4096: the chunked (rematerialized)
     # replay keeps the 50-block decode within HBM (VERDICT r2 item 4)
-    "2d-rolling": dict(epochs=20, steps_per_epoch=500, batch=4096),
+    "2d-rolling": dict(epochs=40, steps_per_epoch=500, batch=4096),
     # driver config 5 trains on the mixed 2D/3D instance stream
     # (BASELINE.json: "Multi-target-container TAP ... and mixed 2D/3D batch")
     "multi-container": dict(epochs=40, steps_per_epoch=250, batch=1024,

@@ -97,6 +97,37 @@ def heightmap_grid(heightmap: jax.Array, cfg: TAPConfig) -> jax.Array:
     return (heightmap.astype(jnp.float32) / s)[..., None]
 
 
+def mask_from_flags(flags: jax.Array, instance: Instance,
+                    cfg: TAPConfig) -> jax.Array:
+    """Rebuild the action mask from recorded dynamic flags: uint8[..., N]
+    -> bool[..., A]. Valid for UNBOUNDED-height configs only (a finite cap
+    makes the mask depend on per-action candidate scans of the heightmap,
+    SPEC.md §5) — callers must check cfg.target_height == 0.
+
+    Lets the replay pass drop the recorded [N, B, A] mask from its working
+    set: the mask is a pure function of (flags, static dims)."""
+    assert cfg.target_height == 0
+    f = flags.astype(jnp.int32)
+    win = ((f >> 3) & 1).astype(bool)
+    accr = ((f >> 2) & 1).astype(bool)
+    per_rot = []
+    for r in range(cfg.num_rot):
+        dims = instance.dims
+        if r == 1:
+            ax0, ax1 = cfg.rot_axes
+            perm = [ax1 if k == ax0 else ax0 if k == ax1 else k
+                    for k in range(3)]
+            dims = dims[..., jnp.array(perm)]
+        fits = ((dims[..., 0] <= cfg.target_width)
+                & (dims[..., 1] <= cfg.target_depth))      # [..., N]
+        ok = win if r == 0 else (win & accr)
+        per_rot.append(ok & fits)
+    mask_br = jnp.stack(per_rot, axis=-1)                  # [..., N, R]
+    mask = jnp.broadcast_to(mask_br[..., None],
+                            mask_br.shape + (cfg.num_containers,))
+    return mask.reshape(flags.shape[:-1] + (cfg.num_actions,))
+
+
 def merge_tokens(static: jax.Array, dynamic: jax.Array) -> jax.Array:
     """Append static dims features to dynamic tokens (broadcast over any
     extra leading axes of `dynamic`, e.g. the replay's decode-step axis).

@@ -143,8 +143,12 @@ class TAPNetActor(nn.Module):
 
         if prev_action is None:
             prev_action = jnp.int32(-1)
-        prev = self.prev_embed(jnp.clip(prev_action + 1, 0,
-                                        cfg.num_actions))      # [h]
+        # one-hot matmul instead of Embed's gather: the backward becomes an
+        # MXU GEMM rather than a scatter-add over the table (the scatter was
+        # 0.3 ms of the replay backward); same params, same values
+        idx = jnp.clip(prev_action + 1, 0, cfg.num_actions)
+        onehot = jax.nn.one_hot(idx, cfg.num_actions + 1, dtype=self.dtype)
+        prev = onehot @ self.prev_embed.embedding.astype(self.dtype)  # [h]
 
         ctx = static_emb.mean(axis=0)                          # [h]
         dsum = dynamic.astype(self.dtype).mean(axis=0)         # [Fd]

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from tapnet_tpu.config import TAPConfig
 from tapnet_tpu.env import core as E
 from tapnet_tpu.models.features import (dynamic_flags, heightmap_grid,
-                                        merge_tokens, static_tokens,
-                                        tokens_from_flags)
+                                        mask_from_flags, merge_tokens,
+                                        static_tokens, tokens_from_flags)
 from tapnet_tpu.models.tapnet import TAPNetActor
 from tapnet_tpu.types import EnvState, Instance
 
@@ -292,6 +292,11 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
         to all-gather the whole replay record to every device (caught by
         tests/test_parallel.py::test_hlo_collective_audit_train_step)."""
         K = ts_c.shape[0]
+        if cfg.target_height == 0:
+            # the mask is a pure function of (flags, static dims) for
+            # unbounded-height configs; rebuilding it here lets XLA drop
+            # the recorded [N, B, A] mask from the replay working set
+            mask_c = mask_from_flags(flags_c, instances, cfg)
         dynamic = merge_tokens(static, tokens_from_flags(
             flags_c, ts_c[:, None].astype(jnp.float32) / cfg.num_blocks,
             cfg))                                             # [K, B, T, F]

@@ -307,3 +307,22 @@ def test_learning_improves_reward_mixed_stream():
         ts, _ = step(ts)
     after = float(evaluate(ts.params, cfg, loop)["valid_reward"])
     assert after > before + 0.03, (before, after)
+
+
+def test_mask_from_flags_matches_recorded_mask():
+    """The replay's rebuilt mask must equal the rollout's recorded mask for
+    every unbounded-height driver config (models.features.mask_from_flags)."""
+    from tapnet_tpu.models.features import mask_from_flags
+    from tapnet_tpu.train.rollout import rollout_batch_record
+
+    for name, cfg in CONFIGS.items():
+        key = jax.random.key(5)
+        params = init_params(key, cfg, hidden=32)["actor"]
+        instances = jax.vmap(lambda k: sample_instance(k, cfg))(
+            jax.random.split(key, 8))
+        _, record, _ = rollout_batch_record(
+            params, instances, jax.random.split(key, 8), cfg, 32,
+            step_kernel=False)
+        rebuilt = mask_from_flags(record.flags, instances, cfg)
+        np.testing.assert_array_equal(np.asarray(rebuilt),
+                                      np.asarray(record.mask), err_msg=name)
