@@ -80,8 +80,9 @@ def main():
 
     all_ok = True
 
-    # ---- 1. monolithic fused rollout kernel ------------------------------
-    for name, cfg in CONFIGS.items():
+    # ---- 1. monolithic fused rollout kernel (driver configs + eligible
+    #         variants, incl. fused mcs) ---------------------------------
+    for name, cfg in dict(CONFIGS, **variants).items():
         if not PE.eligible(cfg):
             continue
         key = jax.random.key(11)

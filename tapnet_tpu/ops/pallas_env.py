@@ -11,13 +11,15 @@ Bit-exactness: the math is the same integer math as core.py/SPEC.md; the
 policy's threefry draws are precomputed outside (bits(fold_in(key_b, t))), so
 fused and unfused rollouts are exactly equal — tested per-field.
 
-Coverage: placement rule `lb`, unbounded target height, policies
-first/random; 2D (any container count, incl. the rolling window) via
-`_kernel2d` with heightmaps on [C*W, lanes]; 3D (any rotation/containers/
-window) via `_kernel3d` with heightmaps on [W, D, lanes]. Finite-height
-configs fall back to the general path (their action mask needs a per-action
-candidate scan); `mcs` falls back too (exact-fraction limb tournament). Both
-fallbacks have measured rows in BENCH_DETAIL.json.
+Coverage: BOTH placement rules — `lb` and `mcs` (exact integer-fraction
+scored placement via the u32-limb u64/u128 tournament, shared semantics
+with env.core and ops.pallas_policy_step) — soft/hard variants, unbounded
+target height, policies first/random; 2D (any container count, incl. the
+rolling window) via `_kernel2d` with heightmaps on [C*W, lanes]; 3D (any
+rotation/containers/window) via `_kernel3d` with heightmaps on
+[W, D, lanes]. Finite-height configs fall back to the general path (their
+action mask needs a per-action candidate scan every step); the fallback
+has a measured row in BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
@@ -30,6 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tapnet_tpu.config import TAPConfig
+from tapnet_tpu.env.core import (_mcs_score_fraction, _u128_gt_eq,
+                                 _u64_mul_u64)
 from tapnet_tpu.types import EnvState, Instance
 
 TB = 128   # batch tile = lane count
@@ -37,11 +41,42 @@ BIG = 2**30  # python int: jnp constants would be captured consts in the kernel
 
 
 def eligible(cfg: TAPConfig) -> bool:
-    """Monolithic-kernel coverage: lb rule, unbounded height (a finite cap
-    makes the action mask need per-action candidate scans), 2D and 3D, any
-    rotation/window/container count. mcs and finite-height configs use the
-    general jitted path (measured fallback rows in BENCH_DETAIL.json)."""
-    return cfg.placement_rule == "lb" and cfg.target_height == 0
+    """Monolithic-kernel coverage: lb AND mcs placement rules (mcs via the
+    same u32-limb exact-fraction tournament as ops.pallas_policy_step),
+    unbounded height, 2D and 3D, any rotation/window/container count. A
+    finite height cap makes the ACTION MASK need a per-action candidate
+    scan over the heightmap every step — those configs use the general
+    jitted path (measured fallback row in BENCH_DETAIL.json)."""
+    return cfg.target_height == 0
+
+
+def _mcs_tournament(cls, keyv, n64, d64, M):
+    """Winner's lb key under the (class, exact u64 score, lowest-lb-key)
+    tournament over [M, TB] candidate fields (env.core._mcs_choose run on
+    the VPU; u128 cross-multiplication compares the score fractions)."""
+    fields = [cls, keyv, n64[0], n64[1], d64[0], d64[1]]
+    p2 = 1
+    while p2 < M:
+        p2 *= 2
+    if p2 > M:
+        pad = p2 - M
+        fields = [jnp.concatenate(
+            [f, jnp.zeros((pad, TB), f.dtype)], axis=0) for f in fields]
+        fields[1] = jnp.concatenate(
+            [keyv, jnp.full((pad, TB), BIG, jnp.int32)],
+            axis=0)  # padded lb keys lose ties
+    while p2 > 1:
+        half = p2 // 2
+        af = [f[:half] for f in fields]
+        bf = [f[half:p2] for f in fields]
+        pa = _u64_mul_u64((af[2], af[3]), (bf[4], bf[5]))
+        pb = _u64_mul_u64((bf[2], bf[3]), (af[4], af[5]))
+        gt, eq = _u128_gt_eq(pa, pb)
+        take_a = (af[0] > bf[0]) | (
+            (af[0] == bf[0]) & (gt | (eq & (af[1] <= bf[1]))))
+        fields = [jnp.where(take_a, fa, fb) for fa, fb in zip(af, bf)]
+        p2 = half
+    return fields[1][0]
 
 
 def _inclusive_prefix_sum(x: jax.Array) -> jax.Array:
@@ -87,6 +122,7 @@ def _kernel2d(cfg: TAPConfig):
     C = cfg.num_containers
     A = N * R * C
     hard = cfg.placement_variant == "hard"
+    mcs = cfg.placement_rule == "mcs"
 
     def kernel(dims_w_ref, dims_h_ref, up_ref, rot_ref, ntot_ref, rbits_ref,
                hm_ref, packed_ref, act_ref, place_ref):
@@ -166,19 +202,57 @@ def _kernel2d(cfg: TAPConfig):
 
             validx = x_col <= (W - w_eff)[None]
             keyv = landing * W + x_col
-            key_soft = jnp.where(validx, keyv, BIG)
-            if hard:
-                key_hard = jnp.where(validx & stable, keyv, BIG)
-                use_hard = jnp.min(key_hard, axis=0) < BIG
-                key_used = jnp.where(use_hard[None], key_hard, key_soft)
+            if mcs:
+                # exact-score placement (env.core choose_placement, mcs):
+                # reward aggregates of the pre-step state from plc/hms,
+                # per-candidate deltas, u64 fraction per x, u128 tournament
+                placed = plc[:, 0] >= 0                          # [N, TB]
+                vol0 = jnp.sum(jnp.where(placed, dims_w * dims_h, 0), axis=0)
+                denc0 = W * sum(jnp.max(hms[c], axis=0) for c in range(C))
+                denp0 = sum(jnp.sum(hms[c], axis=0) for c in range(C))
+                snum0 = jnp.sum(jnp.where(placed, plc[:, 5], 0), axis=0)
+                sden0 = jnp.sum(placed.astype(jnp.int32), axis=0)
+
+                top_c = landing + h_eff[None, :]                 # [W, TB]
+                cur_maxh = jnp.max(hm, axis=0)                   # [TB]
+                new_maxh = jnp.maximum(cur_maxh[None, :], top_c)
+                fpsum = jnp.sum(jnp.where(in_w == 1, S, 0), axis=0)
+
+                bc = lambda v: jnp.broadcast_to(v[None, :], (W, TB))
+                dc_p = bc(denc0) + W * (new_maxh - bc(cur_maxh))
+                dp_p = bc(denp0) + bc(w_eff) * top_c - fpsum     # d == 1
+                vol_p = bc(vol0 + w_eff * h_eff)
+                sn_p = bc(snum0) + stable.astype(jnp.int32)
+                sd_p = bc(sden0) + 1
+                n64, d64 = _mcs_score_fraction(cfg, vol_p, dc_p, dp_p,
+                                               sn_p, sd_p)
+                cls = validx.astype(jnp.int32)
+                if hard:
+                    cls = cls + (validx & stable).astype(jnp.int32)
+                n64 = tuple(jnp.where(validx, v, 0).astype(jnp.uint32)
+                            for v in n64)
+                d64 = tuple(jnp.where(validx, v, 0).astype(jnp.uint32)
+                            for v in d64)
+                win_key = _mcs_tournament(cls, keyv, n64, d64, W)
+                x_star = win_key % W
+                any_valid = jnp.max(validx.astype(jnp.int32), axis=0) > 0
+                win = (x_col == x_star[None]).astype(jnp.int32)
+                l_star = jnp.sum(win * landing, axis=0)
+                s_star = jnp.sum(win * stable.astype(jnp.int32), axis=0)
             else:
-                key_used = key_soft
-            kmin = jnp.min(key_used, axis=0)                     # [TB]
-            any_valid = kmin < BIG
-            win = (key_used == kmin[None]).astype(jnp.int32)     # one-hot in x
-            x_star = jnp.sum(win * x_col, axis=0)
-            l_star = jnp.sum(win * landing, axis=0)
-            s_star = jnp.sum(win * stable.astype(jnp.int32), axis=0)
+                key_soft = jnp.where(validx, keyv, BIG)
+                if hard:
+                    key_hard = jnp.where(validx & stable, keyv, BIG)
+                    use_hard = jnp.min(key_hard, axis=0) < BIG
+                    key_used = jnp.where(use_hard[None], key_hard, key_soft)
+                else:
+                    key_used = key_soft
+                kmin = jnp.min(key_used, axis=0)                 # [TB]
+                any_valid = kmin < BIG
+                win = (key_used == kmin[None]).astype(jnp.int32)  # 1-hot in x
+                x_star = jnp.sum(win * x_col, axis=0)
+                l_star = jnp.sum(win * landing, axis=0)
+                s_star = jnp.sum(win * stable.astype(jnp.int32), axis=0)
 
             do = valid & any_valid                               # [TB]
             fp = (x_col >= x_star[None]) & (x_col < (x_star + w_eff)[None])
@@ -222,6 +296,7 @@ def _kernel3d(cfg: TAPConfig):
     C = cfg.num_containers
     A = N * R * C
     hard = cfg.placement_variant == "hard"
+    mcs = cfg.placement_rule == "mcs"
 
     def kernel(dims_w_ref, dims_d_ref, dims_h_ref, up_ref, rot_ref, ntot_ref,
                rbits_ref, hm_ref, packed_ref, act_ref, place_ref):
@@ -337,22 +412,71 @@ def _kernel3d(cfg: TAPConfig):
             validx = (x_i <= W - w_eff[None, None, :]) & \
                      (y_i <= D - d_eff[None, None, :])
             keyv = (landing * W + x_i) * D + y_i
-            key_soft = jnp.where(validx, keyv, BIG)
-            if hard:
-                key_hard = jnp.where(validx & stable, keyv, BIG)
-                use_hard = jnp.min(key_hard, axis=(0, 1)) < BIG
-                key_used = jnp.where(use_hard[None, None, :], key_hard,
-                                     key_soft)
+            if mcs:
+                # exact-score placement — see the 2D kernel note
+                area = W * D
+                placed = plc[:, 0] >= 0                          # [N, TB]
+                vol0 = jnp.sum(
+                    jnp.where(placed, dims_w * dims_d * dims_h, 0), axis=0)
+                denc0 = area * sum(jnp.max(hms[c], axis=(0, 1))
+                                   for c in range(C))
+                denp0 = sum(jnp.sum(hms[c], axis=(0, 1)) for c in range(C))
+                snum0 = jnp.sum(jnp.where(placed, plc[:, 5], 0), axis=0)
+                sden0 = jnp.sum(placed.astype(jnp.int32), axis=0)
+
+                top_c = landing + h_eff[None, None, :]           # [W, D, TB]
+                cur_maxh = jnp.max(hm, axis=(0, 1))              # [TB]
+                new_maxh = jnp.maximum(cur_maxh[None, None, :], top_c)
+                Sy2 = stack_y(hm, 0)
+                rowsum = jnp.sum(jnp.where(oy4 < de, Sy2, 0), axis=0)
+                Sx2 = stack_x(rowsum, 0)
+                fpsum = jnp.sum(jnp.where(in_x, Sx2, 0), axis=0)
+
+                bc = lambda v: jnp.broadcast_to(v[None, None, :], (W, D, TB))
+                dc_p = bc(denc0) + area * (new_maxh - bc(cur_maxh))
+                dp_p = bc(denp0) + bc(w_eff * d_eff) * top_c - fpsum
+                vol_p = bc(vol0 + w_eff * d_eff * h_eff)
+                sn_p = bc(snum0) + stable.astype(jnp.int32)
+                sd_p = bc(sden0) + 1
+                n64, d64 = _mcs_score_fraction(cfg, vol_p, dc_p, dp_p,
+                                               sn_p, sd_p)
+                cls = validx.astype(jnp.int32)
+                if hard:
+                    cls = cls + (validx & stable).astype(jnp.int32)
+                n64 = tuple(jnp.where(validx, v, 0).astype(jnp.uint32)
+                            for v in n64)
+                d64 = tuple(jnp.where(validx, v, 0).astype(jnp.uint32)
+                            for v in d64)
+                M = W * D
+                flatc = lambda v: v.reshape(M, TB)
+                win_key = _mcs_tournament(
+                    flatc(cls), flatc(keyv),
+                    tuple(flatc(v) for v in n64),
+                    tuple(flatc(v) for v in d64), M)
+                y_star = win_key % D
+                x_star = (win_key // D) % W
+                any_valid = jnp.max(validx.astype(jnp.int32), axis=(0, 1)) > 0
+                win = ((x_i == x_star[None, None, :]) &
+                       (y_i == y_star[None, None, :])).astype(jnp.int32)
+                l_star = jnp.sum(win * landing, axis=(0, 1))
+                s_star = jnp.sum(win * stable.astype(jnp.int32), axis=(0, 1))
             else:
-                key_used = key_soft
-            kmin = jnp.min(key_used, axis=(0, 1))                # [TB]
-            any_valid = kmin < BIG
-            # injective key => exactly one winner among valid candidates
-            win = (key_used == kmin[None, None, :]).astype(jnp.int32)
-            x_star = jnp.sum(win * x_i, axis=(0, 1))
-            y_star = jnp.sum(win * y_i, axis=(0, 1))
-            l_star = jnp.sum(win * landing, axis=(0, 1))
-            s_star = jnp.sum(win * stable.astype(jnp.int32), axis=(0, 1))
+                key_soft = jnp.where(validx, keyv, BIG)
+                if hard:
+                    key_hard = jnp.where(validx & stable, keyv, BIG)
+                    use_hard = jnp.min(key_hard, axis=(0, 1)) < BIG
+                    key_used = jnp.where(use_hard[None, None, :], key_hard,
+                                         key_soft)
+                else:
+                    key_used = key_soft
+                kmin = jnp.min(key_used, axis=(0, 1))            # [TB]
+                any_valid = kmin < BIG
+                # injective key => exactly one winner among valid candidates
+                win = (key_used == kmin[None, None, :]).astype(jnp.int32)
+                x_star = jnp.sum(win * x_i, axis=(0, 1))
+                y_star = jnp.sum(win * y_i, axis=(0, 1))
+                l_star = jnp.sum(win * landing, axis=(0, 1))
+                s_star = jnp.sum(win * stable.astype(jnp.int32), axis=(0, 1))
 
             do = valid & any_valid                               # [TB]
             fp = (x_i >= x_star[None, None, :]) & \

@@ -89,10 +89,35 @@ def test_eligibility_gate():
     # finite target height needs the general path's per-action candidate scan
     capped = TAPConfig(target_height=12)
     assert not eligible(capped)
-    # mcs needs the exact-fraction limb tournament; general path only
-    assert not eligible(TAPConfig(reward_type="C+P-mcs-soft"))
+    # mcs is fused-eligible too (r3: exact-fraction tournament in-kernel)
+    assert eligible(TAPConfig(reward_type="C+P-mcs-soft"))
     with pytest.raises(AssertionError):
         fused_rollout_batch(
             sample_batch(jax.random.key(0), 4, capped),
             jax.random.split(jax.random.key(0), 4), capped,
             interpret=True)
+
+
+MCS_FUSED_CASES = {
+    "2d-mcs-soft": TAPConfig(reward_type="C+P+S-mcs-soft"),
+    "2d-mcs-hard": TAPConfig(allow_rot=True, reward_type="C+P-mcs-hard"),
+    "3d-mcs-soft": TAPConfig(dim=3, container_width=6, container_depth=6,
+                             container_height=6, target_width=6,
+                             target_depth=6, allow_rot=True,
+                             reward_type="C+S-mcs-soft"),
+    "3d-mcs-hard-multicont": TAPConfig(dim=3, num_blocks=8, min_blocks=8,
+                                       container_width=6, container_depth=6,
+                                       container_height=6, target_width=6,
+                                       target_depth=6, num_containers=2,
+                                       reward_type="C+P+S-mcs-hard"),
+}
+
+
+@pytest.mark.parametrize("name", list(MCS_FUSED_CASES))
+@pytest.mark.parametrize("policy", ["random"])
+def test_fused_rollout_parity_mcs(name, policy):
+    """mcs exact-score placement inside the monolithic rollout kernel
+    (round-3 coverage extension): bit-equal to the general path."""
+    cfg = MCS_FUSED_CASES[name]
+    assert eligible(cfg)
+    _assert_rollout_equal(cfg, B=24, policy=policy, seed=9)
