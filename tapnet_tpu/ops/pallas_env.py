@@ -17,9 +17,10 @@ with env.core and ops.pallas_policy_step) — soft/hard variants, unbounded
 target height, policies first/random; 2D (any container count, incl. the
 rolling window) via `_kernel2d` with heightmaps on [C*W, lanes]; 3D (any
 rotation/containers/window) via `_kernel3d` with heightmaps on
-[W, D, lanes]. Finite-height configs fall back to the general path (their
-action mask needs a per-action candidate scan every step); the fallback
-has a measured row in BENCH_DETAIL.json.
+[W, D, lanes]. Finite target heights are covered in 2D single-container
+form (the per-action place-ok mask becomes a width-indexed min-landing
+table in VMEM); 3D/multi-container capped configs fall back to the
+general path (measured row in BENCH_DETAIL.json).
 """
 
 from __future__ import annotations
@@ -43,11 +44,14 @@ BIG = 2**30  # python int: jnp constants would be captured consts in the kernel
 def eligible(cfg: TAPConfig) -> bool:
     """Monolithic-kernel coverage: lb AND mcs placement rules (mcs via the
     same u32-limb exact-fraction tournament as ops.pallas_policy_step),
-    unbounded height, 2D and 3D, any rotation/window/container count. A
-    finite height cap makes the ACTION MASK need a per-action candidate
-    scan over the heightmap every step — those configs use the general
-    jitted path (measured fallback row in BENCH_DETAIL.json)."""
-    return cfg.target_height == 0
+    2D and 3D, any rotation/window/container count, unbounded OR (in 2D,
+    single-container) finite target height — the capped action mask is a
+    width-indexed min-landing table in-kernel. 3D or multi-container
+    capped configs use the general jitted path (their per-action mask
+    needs (w, d)-indexed footprint tables; measured fallback row in
+    BENCH_DETAIL.json)."""
+    return (cfg.target_height == 0
+            or (cfg.dim == 2 and cfg.num_containers == 1))
 
 
 def _mcs_tournament(cls, keyv, n64, d64, M):
@@ -123,6 +127,9 @@ def _kernel2d(cfg: TAPConfig):
     A = N * R * C
     hard = cfg.placement_variant == "hard"
     mcs = cfg.placement_rule == "mcs"
+    capped = cfg.target_height > 0
+    cap = cfg.height_cap
+    assert not (capped and C > 1), "capped 2D kernel is single-container"
 
     def kernel(dims_w_ref, dims_h_ref, up_ref, rot_ref, ntot_ref, rbits_ref,
                hm_ref, packed_ref, act_ref, place_ref):
@@ -156,11 +163,42 @@ def _kernel2d(cfg: TAPConfig):
             # (VERDICT r2 item 10). Action order (n-major, r, then c) is
             # reproduced exactly: the mask is c-invariant, so the sel-th
             # true action is pair (sel // C) with container (sel % C).
-            m0 = obs * (dims_w <= W)
+            if capped:
+                # finite height cap: per-(block, rot) place-ok from a
+                # width-indexed min-landing table over the (single)
+                # container's heightmap — M[j, x] = max hm[x..x+j],
+                # minland[j] = min over in-range x; action (w, h) is
+                # placeable iff minland[w-1] + h <= cap (SPEC.md §5)
+                pad0 = jnp.concatenate([hms[0], jnp.zeros_like(hms[0])],
+                                       axis=0)
+                S0 = jnp.stack([pad0[o:o + W, :] for o in range(W)], axis=0)
+                run = S0[0]
+                Mrows = [run]
+                for j in range(1, W):
+                    run = jnp.maximum(run, S0[j])
+                    Mrows.append(run)
+                Mc = jnp.stack(Mrows, axis=0)                    # [W, W, TB]
+                minland = jnp.min(
+                    jnp.where(x_in <= (W - 1) - o_x, Mc, BIG),
+                    axis=1)                                      # [W, TB]
+                iota_nw = jax.lax.broadcasted_iota(jnp.int32, (N, W, TB), 1)
+                lu0 = jnp.sum(jnp.where(dims_w[:, None, :] - 1 == iota_nw,
+                                        minland[None], 0), axis=1)
+                place0 = (lu0 + dims_h <= cap).astype(jnp.int32)  # [N, TB]
+            else:
+                place0 = 1
+            m0 = obs * (dims_w <= W) * place0
             if R == 2:
                 blockedr = jnp.max(rot * unp[:, None, :], axis=0)
                 accr = obs * (1 - blockedr)
-                m1 = accr * (dims_h <= W)
+                if capped:
+                    lu1 = jnp.sum(
+                        jnp.where(dims_h[:, None, :] - 1 == iota_nw,
+                                  minland[None], 0), axis=1)
+                    place1 = (lu1 + dims_w <= cap).astype(jnp.int32)
+                else:
+                    place1 = 1
+                m1 = accr * (dims_h <= W) * place1
             else:
                 m1 = jnp.zeros_like(m0)
             pairs = m0 + m1                                      # [N, TB]
@@ -201,6 +239,8 @@ def _kernel2d(cfg: TAPConfig):
             stable = (landing == 0) | ((minx <= cx2) & (cx2 <= maxx))
 
             validx = x_col <= (W - w_eff)[None]
+            if capped:
+                validx = validx & (landing + h_eff[None] <= cap)
             keyv = landing * W + x_col
             if mcs:
                 # exact-score placement (env.core choose_placement, mcs):

@@ -86,8 +86,12 @@ def test_eligibility_gate():
         assert eligible(CONFIGS[name]), name
     # 2D multi-container is fused-eligible too (r2: kernel extended)
     assert eligible(TAPConfig(num_containers=2, container_height=20))
-    # finite target height needs the general path's per-action candidate scan
-    capped = TAPConfig(target_height=12)
+    # 2D single-container finite height is fused-eligible (r3: min-landing
+    # table mask in-kernel); 3D capped still needs the general path
+    assert eligible(TAPConfig(target_height=12))
+    capped = TAPConfig(dim=3, container_width=8, container_depth=8,
+                       container_height=8, target_width=8, target_depth=8,
+                       target_height=10)
     assert not eligible(capped)
     # mcs is fused-eligible too (r3: exact-fraction tournament in-kernel)
     assert eligible(TAPConfig(reward_type="C+P-mcs-soft"))
@@ -121,3 +125,32 @@ def test_fused_rollout_parity_mcs(name, policy):
     cfg = MCS_FUSED_CASES[name]
     assert eligible(cfg)
     _assert_rollout_equal(cfg, B=24, policy=policy, seed=9)
+
+
+CAPPED_FUSED_CASES = {
+    "2d-capped-hard": TAPConfig(allow_rot=True, target_height=12,
+                                reward_type="C+P+S-lb-hard"),
+    "2d-capped-tight": TAPConfig(target_height=3,
+                                 reward_type="C+P-lb-soft"),
+    "2d-capped-mcs": TAPConfig(allow_rot=True, target_height=14,
+                               reward_type="C+P+S-mcs-hard"),
+}
+
+
+@pytest.mark.parametrize("name", list(CAPPED_FUSED_CASES))
+def test_fused_rollout_parity_capped(name):
+    """Finite-height 2D configs inside the monolithic kernel (round-3): the
+    per-action place-ok mask comes from a width-indexed min-landing table;
+    a tight cap leaves instances legitimately unfinished — both paths must
+    agree on exactly which blocks never place."""
+    cfg = CAPPED_FUSED_CASES[name]
+    assert eligible(cfg)
+    _assert_rollout_equal(cfg, B=24, policy="random", seed=13)
+
+
+def test_capped_multicontainer_falls_back():
+    assert not eligible(TAPConfig(dim=3, container_width=8, container_depth=8,
+                                  container_height=8, target_width=8,
+                                  target_depth=8, target_height=10))
+    assert not eligible(TAPConfig(num_containers=2, container_height=20,
+                                  target_height=12))
