@@ -69,8 +69,9 @@ def _train_run(cfg, batch, hidden, iters, runs, steps_per_call=8):
     ts = init_train_state(jax.random.key(0), cfg, hidden=hidden)
     step = make_train_step(cfg, batch=batch, hidden=hidden,
                            steps_per_call=steps_per_call)
-    ts, m = step(ts)
-    jax.block_until_ready(m)  # compile
+    for _ in range(2):  # compile + steady-state warmup (first executions of
+        ts, m = step(ts)  # a program run slow on this backend)
+        jax.block_until_ready(m)
     box = [ts]
 
     def run_iter(_):
