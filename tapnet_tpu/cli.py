@@ -96,6 +96,14 @@ def main(argv=None) -> int:
                    dest="steps_per_call",
                    help="optimizer steps per dispatch (lax.scan group; "
                         "8 amortizes host dispatch on TPU)")
+    p.add_argument("--deterministic", action="store_true",
+                   help="assert one train step repeats bit-identically "
+                        "before training (SURVEY.md §5 sanitizer row)")
+    p.add_argument("--nan-checks", action="store_true", dest="nan_checks",
+                   help="enable jax debug-nans for the whole run")
+    p.add_argument("--trace-dir", default=None, dest="trace_dir",
+                   help="capture a jax.profiler trace of 3 steady-state "
+                        "steps in epoch 0 (view with scripts/parse_xplane.py)")
 
     p = sub.add_parser("eval", help="greedy evaluation of a checkpoint")
     add_config_flags(p)
@@ -144,7 +152,8 @@ def main(argv=None) -> int:
             hidden=args.hidden, lr=args.lr, seed=args.seed,
             ckpt_dir=args.ckpt_dir, metrics_path=args.metrics,
             mixed_p2d=args.mixed_p2d, steps_per_call=args.steps_per_call,
-            tb_dir=args.tb_dir)
+            tb_dir=args.tb_dir, trace_dir=args.trace_dir,
+            deterministic=args.deterministic, nan_checks=args.nan_checks)
         mesh = None
         if args.mesh:
             from tapnet_tpu.parallel import data_mesh

@@ -41,6 +41,8 @@ class TrainLoopConfig:
     mixed_p2d: float = 0.0            # P(instance is flat/2D); 3D envs only
     steps_per_call: int = 1           # optimizer steps per dispatch (scan)
     tb_dir: Optional[str] = None      # TensorBoard scalar summaries dir
+    deterministic: bool = False       # assert bit-identical repeat of step 1
+    nan_checks: bool = False          # jax debug-nans over the whole run
 
 
 def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
@@ -89,6 +91,13 @@ def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
 
 def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
           mesh=None) -> TrainState:
+    if loop.nan_checks:
+        # debug mode (SURVEY.md §5 sanitizer row): re-enter with debug-nans
+        # active for every compile in this run (recompiles as needed)
+        from tapnet_tpu.utils.debug import nan_checks
+        with nan_checks():
+            return train(cfg, dataclasses.replace(loop, nan_checks=False),
+                         resume=resume, mesh=mesh)
     logger = MetricsLogger(loop.metrics_path, tb_dir=loop.tb_dir)
     ts = init_train_state(jax.random.key(loop.seed), cfg, loop.hidden,
                           loop.lr, loop.clip)
@@ -106,6 +115,15 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
                                  loop.clip, loop.temperature, mesh=mesh,
                                  mixed_p2d=loop.mixed_p2d,
                                  steps_per_call=spc)
+    if loop.deterministic:
+        # SURVEY.md §5 --deterministic: one full train step, run twice from
+        # the same TrainState, must be bit-identical (params, opt state,
+        # metrics). Catches nondeterministic kernels/reductions before a
+        # long run rather than as an unreproducible result after one.
+        from tapnet_tpu.utils.debug import assert_deterministic
+        assert_deterministic(lambda t: train_step(t), ts)
+        logger.log(int(ts.step), {}, event="deterministic-check-passed")
+
     total = loop.epochs * loop.steps_per_epoch
     sps = StepsPerSecond(loop.batch * cfg.num_blocks)
     traced = False

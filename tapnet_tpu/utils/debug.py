@@ -36,9 +36,18 @@ def assert_finite(tree, where: str = "") -> None:
             raise FloatingPointError(f"non-finite values at {name} {where}")
 
 
+def _raw(tree):
+    """Typed PRNG-key leaves -> uint32 key data (numpy-comparable)."""
+    return jax.tree.map(
+        lambda x: jax.random.key_data(x)
+        if (hasattr(x, "dtype")
+            and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)) else x,
+        tree)
+
+
 def assert_deterministic(fn: Callable, *args, runs: int = 2) -> None:
     """Run fn twice; require bit-identical outputs (--deterministic mode)."""
-    outs = [jax.device_get(fn(*args)) for _ in range(runs)]
+    outs = [jax.device_get(_raw(fn(*args))) for _ in range(runs)]
     ref = outs[0]
     for i, other in enumerate(outs[1:], 2):
         for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(other)):

@@ -108,12 +108,10 @@ def test_sharded_train_step_reduces_gradients():
     ts = init_train_state(jax.random.key(0), TINY, hidden=32)
     ts = put_replicated(ts, mesh)
     step = make_train_step(TINY, batch=16, hidden=32, mesh=mesh)
-    # make_train_step returns a lambda; reach the jitted inner for lowering
-    hlo = None
-    try:
-        hlo = jax.jit(lambda t: step(t)).lower(ts).compile().as_text()
-    except Exception:
-        pytest.skip("lowering through wrapper not supported")
+    # make_train_step returns a lambda; lower through the wrapper. A failure
+    # here must FAIL (a regression that stops the learner communicating would
+    # otherwise silently skip — VERDICT r3 weak #6).
+    hlo = jax.jit(lambda t: step(t)).lower(ts).compile().as_text()
     assert "all-reduce" in hlo
 
 

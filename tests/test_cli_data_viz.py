@@ -63,6 +63,33 @@ def test_cli_generate_and_eval_paths(tmp_path, capsys):
     assert rc == 1  # clean failure on missing checkpoint
 
 
+def test_cli_train_debug_flags(tmp_path):
+    """SURVEY.md §5 sanitizer row, wired through the CLI (VERDICT r3 item 8):
+    --deterministic (bit-identical step repeat), --nan-checks, --trace-dir
+    (profiler trace of epoch-0 steady-state steps)."""
+    trace_dir = tmp_path / "trace"
+    rc = cli_main(["train", "--config", "2d-basic", "--epochs", "1",
+                   "--steps-per-epoch", "4", "--batch", "8", "--hidden",
+                   "32", "--valid-batch", "8",
+                   "--metrics", str(tmp_path / "m.jsonl"),
+                   "--deterministic", "--trace-dir", str(trace_dir)])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert any(r.get("event") == "deterministic-check-passed" for r in lines)
+    import glob
+    assert glob.glob(str(trace_dir / "**" / "*.xplane.pb"), recursive=True)
+
+
+def test_cli_train_nan_checks_flag(tmp_path):
+    rc = cli_main(["train", "--config", "2d-basic", "--epochs", "1",
+                   "--steps-per-epoch", "2", "--batch", "8", "--hidden",
+                   "32", "--valid-batch", "8", "--nan-checks"])
+    assert rc == 0
+    import jax
+    assert not jax.config.jax_debug_nans  # scope restored after the run
+
+
 def test_cli_flag_config_construction():
     from tapnet_tpu.cli import build_config
     import argparse

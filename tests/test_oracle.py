@@ -143,3 +143,20 @@ def test_generator_determinism():
     b = generate_instance(jax.random.key(42), cfg)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_rollout_precomputed_rbits_bit_parity():
+    """rollout_rbits precomputes the exact inline threefry stream: the timed
+    oracle baseline (benchmarks.measure_oracle_steps_per_s) must stay
+    bit-identical to the eager-draw path it replaced (VERDICT r3 weak #2)."""
+    from tapnet_tpu.oracle.rollout import rollout_rbits
+
+    for name in ("2d-rot", "3d-basic"):
+        cfg = CONFIGS[name]
+        key = jax.random.key(7)
+        inst = generate_instance(key, cfg)
+        env_a, act_a, _ = oracle_rollout(inst, cfg, policy="random", key=key)
+        env_b, act_b, _ = oracle_rollout(inst, cfg, policy="random",
+                                         rbits=rollout_rbits(key, cfg))
+        assert np.array_equal(act_a, act_b)
+        assert np.array_equal(env_a.state.heightmap, env_b.state.heightmap)
