@@ -83,7 +83,7 @@ def main():
     if not (args.detail and args.skip_headline):
         env = measure_env_stats(cfg, batch=4096, iters=100, runs=3)
         train = measure_train_stats(cfg, batch=4096, iters=20, runs=3)
-        print(json.dumps({
+        rec = {
             "metric": "env-steps/s/chip (2D TAP, batch 4096, full mask+policy+step rollout)",
             "value": env["value"],
             "unit": "env-steps/s",
@@ -95,7 +95,17 @@ def main():
             "env_min": env["min"], "env_max": env["max"],
             "train_min": train["min"], "train_max": train["max"],
             "runs": env["runs"],
-        }))
+        }
+        # profiler-derived device-time anchors (PERF.md): wall-clock through
+        # the TPU tunnel varies per session; device ms does not
+        if "device_ms_per_rollout" in env:
+            rec["device_ms"] = env["device_ms_per_rollout"]
+            rec["device_env_steps_per_s"] = env["device_env_steps_per_s"]
+        if "device_ms_per_step" in train:
+            rec["train_device_ms_per_step"] = train["device_ms_per_step"]
+            rec["train_device_env_steps_per_s"] = train[
+                "device_env_steps_per_s"]
+        print(json.dumps(rec))
 
     if args.detail:
         from tapnet_tpu.ops import pallas_env

@@ -27,6 +27,19 @@ def _stats(vals, batch, iters):
             "runs": len(vals), "iters": iters, "batch": batch}
 
 
+def _try_device_ms(fn, name, iters=3):
+    """Profiler device ms/call of fn, or None when no device plane exists
+    (CPU backend) or tracing fails — benchmarks must never die to profiling."""
+    from tapnet_tpu.utils.profiling import device_time_ms
+
+    if jax.default_backend() != "tpu":
+        return None
+    try:
+        return device_time_ms(fn, name, iters=iters, warmup=1)
+    except Exception:
+        return None
+
+
 def measure_oracle_steps_per_s(cfg, n_instances: int = 8) -> float:
     """Reference mechanism: per-instance Python loop (steps/s, one process).
 
@@ -97,11 +110,15 @@ def _timed_windows(run_iter, iters: int, runs: int, steps_per_iter: float):
     return vals
 
 
-def _train_run(cfg, batch, hidden, iters, runs, steps_per_call=8):
+def _train_run(cfg, batch, hidden, iters, runs, steps_per_call=8,
+               device=False):
     """steps_per_call=8: the production dispatch grouping (one lax.scan of
     8 optimizer steps per call, train.reinforce.make_train_step) — host
     dispatch over the TPU tunnel is ~1.3 ms/call vs a ~4 ms device step,
-    so per-step dispatch would measure the host, not the chip."""
+    so per-step dispatch would measure the host, not the chip.
+
+    device=True additionally returns profiler device ms per OPTIMIZER STEP
+    (the jit_train_steps outer event / steps_per_call)."""
     from tapnet_tpu.train.reinforce import init_train_state, make_train_step
 
     ts = init_train_state(jax.random.key(0), cfg, hidden=hidden)
@@ -116,8 +133,13 @@ def _train_run(cfg, batch, hidden, iters, runs, steps_per_call=8):
         box[0], m = step(box[0])
         return m
 
-    return _timed_windows(run_iter, iters, runs,
+    vals = _timed_windows(run_iter, iters, runs,
                           batch * cfg.num_blocks * steps_per_call)
+    if not device:
+        return vals
+    name = "train_steps" if steps_per_call > 1 else "train_step"
+    dev = _try_device_ms(lambda: run_iter(0), name)
+    return vals, (dev / steps_per_call if dev else None)
 
 
 def measure_train_steps_per_s(cfg, batch: int = 4096, hidden: int = 128,
@@ -133,11 +155,23 @@ def measure_train_steps_per_s(cfg, batch: int = 4096, hidden: int = 128,
 
 
 def measure_train_stats(cfg, batch: int = 4096, hidden: int = 128,
-                        iters: int = 10, runs: int = 3) -> dict:
-    return _stats(_train_run(cfg, batch, hidden, iters, runs), batch, iters)
+                        iters: int = 10, runs: int = 3,
+                        device: bool = True) -> dict:
+    """Wall-clock stats + (on TPU) profiler device-time anchor:
+    device_ms_per_step and the device-time env-steps/s it implies."""
+    vals = _train_run(cfg, batch, hidden, iters, runs, device=device)
+    if device:
+        vals, dev_ms = vals
+        out = _stats(vals, batch, iters)
+        if dev_ms:
+            out["device_ms_per_step"] = round(dev_ms, 3)
+            out["device_env_steps_per_s"] = round(
+                batch * cfg.num_blocks / (dev_ms / 1e3), 1)
+        return out
+    return _stats(vals, batch, iters)
 
 
-def _env_run(cfg, batch, iters, runs, fused, group=None):
+def _env_run(cfg, batch, iters, runs, fused, group=None, device=False):
     """Rollout throughput with `group` rollouts per device dispatch.
 
     Host dispatch over the TPU tunnel costs ~1 ms/call while a fused-kernel
@@ -184,8 +218,12 @@ def _env_run(cfg, batch, iters, runs, fused, group=None):
     jax.block_until_ready(call(batch_inst, key_groups[0]))  # compile
 
     steps_per_rollout = int(np.asarray(batch_inst.n_total).sum())
-    return _timed_windows(lambda i: call(batch_inst, key_groups[i]),
+    vals = _timed_windows(lambda i: call(batch_inst, key_groups[i]),
                           n_calls, runs, steps_per_rollout * group)
+    if not device:
+        return vals
+    dev = _try_device_ms(lambda: call(batch_inst, key_groups[0]), "call")
+    return vals, (dev / group if dev else None), steps_per_rollout
 
 
 def measure_env_steps_per_s(cfg, batch: int, iters: int = 10,
@@ -200,7 +238,17 @@ def measure_env_steps_per_s(cfg, batch: int, iters: int = 10,
 
 
 def measure_env_stats(cfg, batch: int, iters: int = 50, runs: int = 3,
-                      fused: bool = None) -> dict:
+                      fused: bool = None, device: bool = True) -> dict:
+    """Wall-clock stats + (on TPU) profiler device-time anchor:
+    device_ms_per_rollout and the device-time env-steps/s it implies."""
+    if device:
+        vals, dev_ms, steps = _env_run(cfg, batch, iters, runs, fused,
+                                       device=True)
+        out = _stats(vals, batch, iters)
+        if dev_ms:
+            out["device_ms_per_rollout"] = round(dev_ms, 4)
+            out["device_env_steps_per_s"] = round(steps / (dev_ms / 1e3), 1)
+        return out
     return _stats(_env_run(cfg, batch, iters, runs, fused), batch, iters)
 
 
@@ -221,9 +269,20 @@ def measure_policy_rollout_stats(cfg, batch: int = 4096, hidden: int = 128,
     params = init_params(key, cfg, hidden)["actor"]
     instances = sample_batch(key, batch, cfg)
     keys = jax.random.split(key, batch)
-    fn = jax.jit(lambda p, i, k: rollout_batch_record(
-        p, i, k, cfg, hidden, step_kernel=step_kernel))
-    jax.block_until_ready(fn(params, instances, keys))
-    return _stats(_timed_windows(lambda _: fn(params, instances, keys),
-                                 iters, runs, batch * cfg.num_blocks),
-                  batch, iters)
+
+    @jax.jit
+    def policy_rollout_call(p, i, k):
+        return rollout_batch_record(p, i, k, cfg, hidden,
+                                    step_kernel=step_kernel)
+
+    jax.block_until_ready(policy_rollout_call(params, instances, keys))
+    out = _stats(_timed_windows(
+        lambda _: policy_rollout_call(params, instances, keys),
+        iters, runs, batch * cfg.num_blocks), batch, iters)
+    dev = _try_device_ms(lambda: policy_rollout_call(params, instances, keys),
+                         "policy_rollout_call")
+    if dev:
+        out["device_ms_per_rollout"] = round(dev, 3)
+        out["device_env_steps_per_s"] = round(
+            batch * cfg.num_blocks / (dev / 1e3), 1)
+    return out

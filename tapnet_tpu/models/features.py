@@ -60,10 +60,12 @@ def dynamic_flags(instance: Instance, packed: jax.Array,
 
 
 def tokens_from_flags(flags: jax.Array, t_frac, cfg: TAPConfig) -> jax.Array:
-    """Expand dynamic_flags to model tokens: uint8[..., N] -> [..., N*R, 4].
+    """Expand dynamic_flags to model tokens: uint8[..., n] -> [..., n*R, 4].
 
-    t_frac (decode progress, t/N) must broadcast against flags[..., N].
-    Fully vectorized over any leading axes (replay feeds [K, B, N] slabs).
+    t_frac (decode progress, t/N) must broadcast against flags[..., n].
+    Fully vectorized over any leading axes (replay feeds [K, B, N] slabs),
+    and over any SUBSET of blocks on the last axis (the windowed replay
+    gathers the <=window observable blocks before expanding).
     """
     f = flags.astype(jnp.int32)
     packed = (f & 1).astype(jnp.float32)
@@ -74,8 +76,9 @@ def tokens_from_flags(flags: jax.Array, t_frac, cfg: TAPConfig) -> jax.Array:
                           packed.shape)
     per_rot = [jnp.stack([packed, acc0 if r == 0 else accr, win, tf], axis=-1)
                for r in range(cfg.num_rot)]
-    toks = jnp.stack(per_rot, axis=-2)               # [..., N, R, 4]
-    return toks.reshape(flags.shape[:-1] + (cfg.num_blocks * cfg.num_rot, 4))
+    toks = jnp.stack(per_rot, axis=-2)               # [..., n, R, 4]
+    return toks.reshape(flags.shape[:-1]
+                        + (flags.shape[-1] * cfg.num_rot, 4))
 
 
 def dynamic_tokens(instance: Instance, state: EnvState,

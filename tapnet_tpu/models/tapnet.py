@@ -136,9 +136,27 @@ class TAPNetActor(nn.Module):
         interactions — hm_grid [C, W, D, 1], prev_action int32 scalar in
         [-1, A) (-1 / None = decode start).
         """
+        ctx = static_emb.mean(axis=0)                          # [h]
+        dsum = dynamic.astype(self.dtype).mean(axis=0)         # [Fd]
+        return self.head_ctx(static_emb, dynamic, hm_grid, prev_action,
+                             ctx, dsum)
+
+    def head_ctx(self, static_emb, dynamic, hm_grid, prev_action, ctx, dsum):
+        """head() with the full-token context summaries (ctx = mean static
+        embedding [h], dsum = mean merged token [Fd]) passed in, and token
+        inputs allowed to be a SUBSET of the T tokens: scores come back for
+        exactly the tokens given, flattened token-major/container-minor.
+
+        This is the windowed-replay entry point (train.rollout): for rolling
+        configs only the <=window observable (block, rot) tokens can carry
+        probability mass, so the replay gathers those and reproduces the
+        full softmax from the masked-logit identity exp(-1e9) == 0 — the
+        context summaries are the only full-set quantities, and both are
+        cheap bit-count/precomputed reductions.
+        """
         cfg = self.cfg
         dyn = self.dyn_proj(
-            nn.relu(self.dyn_hidden(dynamic.astype(self.dtype))))  # [T, h]
+            nn.relu(self.dyn_hidden(dynamic.astype(self.dtype))))  # [Tk, h]
         hm = self.hm_enc(hm_grid)                              # [C, h]
 
         if prev_action is None:
@@ -150,23 +168,23 @@ class TAPNetActor(nn.Module):
         onehot = jax.nn.one_hot(idx, cfg.num_actions + 1, dtype=self.dtype)
         prev = onehot @ self.prev_embed.embedding.astype(self.dtype)  # [h]
 
-        ctx = static_emb.mean(axis=0)                          # [h]
-        dsum = dynamic.astype(self.dtype).mean(axis=0)         # [Fd]
         qin = jnp.concatenate([
             hm,
-            jnp.broadcast_to(ctx[None], hm.shape),
+            jnp.broadcast_to(ctx[None].astype(self.dtype), hm.shape),
             jnp.broadcast_to(prev[None], hm.shape),
-            jnp.broadcast_to(dsum[None], hm.shape[:-1] + dsum.shape),
+            jnp.broadcast_to(dsum[None].astype(self.dtype),
+                             hm.shape[:-1] + dsum.shape),
         ], axis=-1)                                            # [C, 3h+Fd]
         q = self.query(qin)                                    # [C, h]
 
         # additive attention: score[t, c] = v . tanh(key_t + dyn_t + q_c)
         act = jnp.tanh(static_emb[:, None, :] + dyn[:, None, :]
-                       + q[None, :, :])                        # [T, C, h]
-        scores = (act @ self.v.astype(self.dtype))[..., 0]     # [T, C]
-        # [T, C] -> [N, R, C] -> flat [A]; logits always fp32 (softmax /
-        # masking / sampling run in full precision regardless of dtype)
-        return scores.reshape(cfg.num_actions).astype(jnp.float32)
+                       + q[None, :, :])                        # [Tk, C, h]
+        scores = (act @ self.v.astype(self.dtype))[..., 0]     # [Tk, C]
+        # [Tk, C] -> flat (token-major, container-minor — compose_action
+        # order); logits always fp32 (softmax / masking / sampling run in
+        # full precision regardless of dtype)
+        return scores.reshape(-1).astype(jnp.float32)
 
     def __call__(self, static, dynamic, hm_grid, prev_action=None):
         merged = jnp.concatenate([dynamic, static], axis=-1)

@@ -127,3 +127,18 @@ def test_metrics_logger_tensorboard_scalars(tmp_path):
     lg.close()
     events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > 0
+
+
+def test_xplane_jit_device_ms_from_committed_trace():
+    """utils.xplane attributes the outer jit_<fn> device event — the
+    per-iteration device-time number of record (PERF.md). Parsed from the
+    committed round-3 trace so the parser is pinned to a real artifact."""
+    import os
+
+    from tapnet_tpu.utils.xplane import device_op_times, jit_device_ms
+
+    trace_dir = os.path.join(os.path.dirname(__file__), "..", "runs", "trace")
+    ms = jit_device_ms(trace_dir, "train_step", iters=3)
+    assert 0.1 < ms < 1000.0
+    tot = device_op_times(trace_dir)
+    assert any(k.startswith("jit_train_step") for k in tot)
