@@ -100,6 +100,91 @@ def _gumbel_all(keys, cfg: TAPConfig):
     return jnp.swapaxes(g, 0, 1)
 
 
+def _use_windowed_head(cfg: TAPConfig) -> bool:
+    """Rolling unbounded-height configs score only the <=window observable
+    tokens per decode step (scattered back to the full action space) — see
+    _make_windowed_head / _replay_logp_windowed."""
+    return 0 < cfg.window < cfg.num_blocks and cfg.target_height == 0
+
+
+def _make_windowed_head(actor, actor_params, instances: Instance,
+                        static, static_emb, cfg: TAPConfig, hidden, dtype):
+    """Per-decode-step head for rolling configs: gather the <=window
+    observable blocks, score those tokens only, scatter scores back to the
+    full [B, A] logit vector (0 at non-window positions — all masked).
+
+    Valid-position logits are BIT-IDENTICAL to the full head: gathers are
+    exact one-hot contractions and the head's context summaries are exact
+    integer-count arithmetic (see _replay_logp_windowed, which shares the
+    math). Cuts per-step head bytes/FLOPs by ~N/window (5x for the rolling
+    driver config, where the decode scan was HBM-bound on [B, 100, h]
+    intermediates).
+
+    Returns fn(flags u8[B, N], heightmap [B, C, W, D], prev [B], t_frac)
+    -> logits f32[B, A].
+    """
+    cdt = jnp.dtype(dtype).type
+    N, R, C, Kw = (cfg.num_blocks, cfg.num_rot, cfg.num_containers,
+                   cfg.window)
+    B = instances.dims.shape[0]
+    h = hidden
+    ctx = static_emb.mean(axis=1)                                # [B, h]
+    stat_mean = static.astype(cdt).mean(axis=1)                  # [B, 4]
+    se_bn = static_emb.reshape(B, N, R * h)
+    # compute-dtype static features: the head casts merged tokens to cdt
+    # anyway, and a one-hot gather of pre-rounded values equals rounding
+    # the f32 gather
+    static_bn = static.astype(cdt).reshape(B, N, R * 4)
+
+    def head_one(se, dy, hg, pa, cx, ds):
+        return actor.apply(actor_params, se, dy, hg, pa, cx, ds,
+                           method=TAPNetActor.head_ctx)
+
+    def win_head(flags, heightmap, prev, t_frac):
+        f = flags.astype(jnp.int32)                    # [B, N]
+        win = (f >> 3) & 1
+        rank = jnp.cumsum(win, axis=-1) - win
+        onehot = ((rank[:, None, :]
+                   == jnp.arange(Kw, dtype=jnp.int32)[:, None])
+                  & (win[:, None, :] == 1))            # [B, Kw, N] bool
+        oh32 = onehot.astype(jnp.float32)
+
+        # all contractions in compute dtype: a one-hot dot has exactly one
+        # nonzero term, so bf16 accumulation is still exact
+        ohc = onehot.astype(cdt)
+        se_g = jnp.einsum("bwn,bnf->bwf", onehot.astype(se_bn.dtype),
+                          se_bn).reshape(B, Kw * R, h)
+        gf = jnp.einsum("bwn,bn->bw", ohc,
+                        f.astype(cdt)).astype(jnp.int32)
+        static_g = jnp.einsum("bwn,bnf->bwf", ohc, static_bn)
+        dyn_g = tokens_from_flags(
+            gf, jnp.asarray(t_frac, jnp.float32), cfg)  # [B, Kw*R, 4]
+        merged = jnp.concatenate(
+            [dyn_g, static_g.reshape(B, Kw * R, 4)], axis=-1)
+
+        T = N * R
+        pk = (f & 1).sum(-1).astype(jnp.float32)
+        a0 = ((f >> 1) & 1).sum(-1).astype(jnp.float32)
+        ar = ((f >> 2) & 1).sum(-1).astype(jnp.float32)
+        wn = win.sum(-1).astype(jnp.float32)
+        acc_mean = (a0 + ar) / T if R == 2 else a0 / N
+        tf = jnp.broadcast_to(jnp.asarray(t_frac, jnp.float32), (B,))
+        dsum = jnp.concatenate([
+            jnp.stack([pk / N, acc_mean, wn / N, tf], axis=-1).astype(cdt),
+            stat_mean,
+        ], axis=-1)                                    # [B, 8]
+
+        hmg = heightmap_grid(heightmap, cfg)
+        scores = jax.vmap(head_one)(se_g, merged, hmg, prev,
+                                    ctx, dsum)         # [B, Kw*R*C]
+        # scatter back to the full action space (exact: 1.0 * score)
+        full = jnp.einsum("bwn,bwz->bnz", oh32,
+                          scores.reshape(B, Kw, R * C))
+        return full.reshape(B, cfg.num_actions)
+
+    return win_head
+
+
 def _rollout_record_general(actor_params, instances: Instance, keys,
                             cfg: TAPConfig, hidden, greedy, temperature,
                             dtype, with_logp=True):
@@ -110,6 +195,9 @@ def _rollout_record_general(actor_params, instances: Instance, keys,
     static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)  # [B, T, F]
     static_emb = actor.apply(actor_params, static,
                              method=TAPNetActor.embed_static)      # [B, T, h]
+    win_head = (_make_windowed_head(actor, actor_params, instances, static,
+                                    static_emb, cfg, hidden, dtype)
+                if _use_windowed_head(cfg) else None)
     ts = jnp.arange(cfg.num_blocks, dtype=jnp.int32)
     xs = (ts, jnp.zeros((cfg.num_blocks, 1, 1)) if greedy
           else _gumbel_all(keys, cfg))
@@ -117,17 +205,26 @@ def _rollout_record_general(actor_params, instances: Instance, keys,
     def body(carry, x):
         t, g = x
         state, prev, logp_sum = carry
-        mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
-            state, instances)                                      # [B, A]
         flags = jax.vmap(lambda i, p: dynamic_flags(i, p, cfg))(
             instances, state.packed)                               # [B, nb] u8
-        dynamic = merge_tokens(static, tokens_from_flags(
-            flags, state.t / cfg.num_blocks, cfg))                 # [B, T, F]
-        hmg = heightmap_grid(state.heightmap, cfg)                 # [B,C,W,D,1]
-        logits = jax.vmap(
-            lambda se, dy, hg, pa: actor.apply(
-                actor_params, se, dy, hg, pa, method=TAPNetActor.head)
-        )(static_emb, dynamic, hmg, prev)                          # [B, A]
+        if cfg.target_height == 0:
+            # mask is a pure function of (flags, static dims) without a
+            # height cap — one accessibility pass per step, not two
+            mask = mask_from_flags(flags, instances, cfg)          # [B, A]
+        else:
+            mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
+                state, instances)                                  # [B, A]
+        if win_head is not None:
+            logits = win_head(flags, state.heightmap, prev,
+                              state.t / cfg.num_blocks)            # [B, A]
+        else:
+            dynamic = merge_tokens(static, tokens_from_flags(
+                flags, state.t / cfg.num_blocks, cfg))             # [B, T, F]
+            hmg = heightmap_grid(state.heightmap, cfg)             # [B,C,W,D,1]
+            logits = jax.vmap(
+                lambda se, dy, hg, pa: actor.apply(
+                    actor_params, se, dy, hg, pa, method=TAPNetActor.head)
+            )(static_emb, dynamic, hmg, prev)                      # [B, A]
         masked = _masked_logits(logits, mask, temperature)
         if greedy:
             a = jnp.argmax(masked, axis=-1).astype(jnp.int32)
@@ -181,6 +278,9 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
     static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)
     static_emb = actor.apply(actor_params, static,
                              method=TAPNetActor.embed_static)
+    win_head = (_make_windowed_head(actor, actor_params, instances, static,
+                                    static_emb, cfg, hidden, dtype)
+                if _use_windowed_head(cfg) else None)
 
     # batch-last instance constants / initial state
     dims_w = instances.dims[:, :, 0].T.astype(jnp.int32)         # [N, B]
@@ -201,17 +301,24 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
         hm_bm = hm_bl.reshape(C, W, D, B).transpose(3, 0, 1, 2)  # [B,C,W,D]
         state_bm = EnvState(heightmap=hm_bm, packed=packed_bm,
                             placements=None, t=None)
-        mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
-            state_bm, instances)                                 # [B, A]
         flags = jax.vmap(lambda i, p: dynamic_flags(i, p, cfg))(
             instances, packed_bm)                                # [B, nb] u8
-        dynamic = merge_tokens(static, tokens_from_flags(
-            flags, t / cfg.num_blocks, cfg))                     # [B, T, F]
-        hmg = heightmap_grid(hm_bm, cfg)
-        logits = jax.vmap(
-            lambda se, dy, hg, pa: actor.apply(
-                actor_params, se, dy, hg, pa, method=TAPNetActor.head)
-        )(static_emb, dynamic, hmg, prev)                        # [B, A]
+        if cfg.target_height == 0:
+            mask = mask_from_flags(flags, instances, cfg)        # [B, A]
+        else:
+            mask = jax.vmap(lambda s, i: E.action_mask(s, i, cfg))(
+                state_bm, instances)                             # [B, A]
+        if win_head is not None:
+            logits = win_head(flags, hm_bm, prev,
+                              t / cfg.num_blocks)                # [B, A]
+        else:
+            dynamic = merge_tokens(static, tokens_from_flags(
+                flags, t / cfg.num_blocks, cfg))                 # [B, T, F]
+            hmg = heightmap_grid(hm_bm, cfg)
+            logits = jax.vmap(
+                lambda se, dy, hg, pa: actor.apply(
+                    actor_params, se, dy, hg, pa, method=TAPNetActor.head)
+            )(static_emb, dynamic, hmg, prev)                    # [B, A]
         masked = _masked_logits(logits, mask, temperature)
         score = masked if greedy else masked + g
 
@@ -355,10 +462,13 @@ def _replay_logp_windowed(actor_params, instances: Instance,
     embedding, mean merged token); the first is per-instance, the second is
     exact bit-count arithmetic over the recorded flags (integer sums / T).
 
-    The differentiable gather rides the MXU: a one-hot [Kw, N] matmul
-    against the [N, R*h] static embeddings makes both the gather and its
-    backward (the scatter-add into the encoder gradient) GEMMs — XLA's
-    native scatter lowering serializes per index on TPU.
+    EVERY gather here is expressed as a one-hot contraction (einsum) or a
+    masked reduction, never as take_along_axis: TPU lowers per-row dynamic
+    gathers of short rows to scalar index loops — a profiled first cut
+    spent 16-25 ms PER GATHER on [K*B*Kw]-row take_along_axis calls
+    (runs/trace_r4 evidence), more than the entire tensor math. One-hot
+    contractions ride the MXU/VPU in both directions (the backward of the
+    static-embedding gather is a GEMM, not a serialized scatter-add).
     """
     actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
     cdt = jnp.dtype(dtype).type
@@ -367,9 +477,15 @@ def _replay_logp_windowed(actor_params, instances: Instance,
     B = record.action.shape[1]
     h = hidden
     if chunk <= 0:
-        # windowed rows are (N / Kw)x lighter than full-token rows; spend
-        # the same activation budget on proportionally more decode rows
-        chunk = max(1, min(N, (40960 * max(1, N // (2 * Kw))) // max(B, 1)))
+        import os
+        chunk = int(os.environ.get("TAPNET_REPLAY_CHUNK", "0"))
+    if chunk <= 0:
+        # single-slab when the rematerialized activations fit comfortably
+        # (~6 tensors of [B, N, Kw*R, h] compute-dtype each — measured 11%
+        # faster than 2-way batch chunking for the rolling driver config);
+        # otherwise chunk the batch axis to a ~1 GB activation budget
+        est = B * N * Kw * R * h * jnp.dtype(dtype).itemsize * 6
+        chunk = N if est <= 8e9 else max(1, min(N, 163840 // max(B, 1)))
     while N % chunk:
         chunk -= 1
 
@@ -379,110 +495,156 @@ def _replay_logp_windowed(actor_params, instances: Instance,
     ctx = static_emb.mean(axis=1)                                  # [B, h]
     stat_mean = static.astype(cdt).mean(axis=1)                    # [B, 4]
     se_bn = static_emb.reshape(B, N, R * h)
-    static_bn = np_static_bn = static.astype(jnp.float32).reshape(B, N, R * 4)
+    # cdt static features: merged is cast to cdt below, and one-hot gather
+    # of pre-rounded values equals rounding the f32 gather
+    static_bn = static.astype(cdt).reshape(B, N, R * 4)
     dims = instances.dims.astype(jnp.int32)                        # [B, N, 3]
+
+    # per-rotation geometric fits are STATIC per instance — precompute once
+    # so the per-chunk mask needs no dims gather at all
+    fits_pre = []                                                  # R x [B,N]
+    for r in range(cfg.num_rot):
+        d = dims
+        if r == 1:
+            ax0, ax1 = cfg.rot_axes
+            perm = [ax1 if k == ax0 else ax0 if k == ax1 else k
+                    for k in range(3)]
+            d = d[..., jnp.array(perm)]
+        fits_pre.append(((d[..., 0] <= cfg.target_width)
+                         & (d[..., 1] <= cfg.target_depth))
+                        .astype(cdt))
 
     ts = jnp.arange(N, dtype=jnp.int32)
     prev = jnp.concatenate([jnp.full((1,) + record.action.shape[1:], -1,
                                      jnp.int32), record.action[:-1]], axis=0)
+    act = record.action
+
+    # ---- windowed PLAN: every non-differentiable per-step tensor, computed
+    # once for ALL N steps up front. Under jax.checkpoint the chunk body is
+    # re-executed during the backward pass, so int plumbing placed inside it
+    # runs twice and stays trapped in the while loop; here it runs once and
+    # XLA fuses it across the whole [N] axis. The body below is pure tensor
+    # math: one-hot rebuild + gather GEMM + head + masked log-softmax.
+    f = record.flags.astype(jnp.int32)                 # [N, B, Nb]
+    win = (f >> 3) & 1
+    rank = jnp.cumsum(win, axis=-1) - win              # [N, B, Nb]
+    onehot = ((rank[..., None, :]
+               == jnp.arange(Kw, dtype=jnp.int32)[:, None])
+              & (win[..., None, :] == 1))              # [N, B, Kw, Nb] bool
+    validw = onehot.any(axis=-1)                       # [N, B, Kw]
+    # compute-dtype one-hot: a one-hot dot has exactly one nonzero term,
+    # so bf16 accumulation is still exact (and halves the oh bytes)
+    ohc = onehot.astype(cdt)
+    # compact index form for the body's one-hot rebuild (4 MB, not 400)
+    bidx = (onehot * jnp.arange(N, dtype=jnp.int32)).sum(-1)   # [N, B, Kw]
+
+    # recorded-flag / instance-constant gathers as one-hot contractions
+    # (values <= 15 / exact small floats); take_along_axis is banned here:
+    # TPU lowers short-row dynamic gathers to scalar loops that cost more
+    # than all the tensor math combined (16-25 ms each at this size, traced)
+    gf = jnp.einsum("sbwn,sbn->sbw", ohc,
+                    f.astype(cdt)).astype(jnp.int32)
+    static_g = jnp.einsum("sbwn,bnf->sbwf", ohc, static_bn)   # [N,B,Kw,R*4]
+
+    dyn_g = tokens_from_flags(
+        gf, ts[:, None].astype(jnp.float32) / N, cfg)  # [N, B, Kw*R, 4]
+    merged = jnp.concatenate(
+        [dyn_g, static_g.reshape(N, B, Kw * R, 4)],
+        axis=-1).astype(cdt)                           # [N, B, Kw*R, 8]
+
+    # candidate mask (mask_from_flags restricted to the gathered set): win
+    # bit is true by construction for valid rows; padding rows are forced
+    # infeasible via validw; geometric fits precomputed per instance
+    accr_g = ((gf >> 2) & 1).astype(bool)
+    per_rot = []
+    for r in range(cfg.num_rot):
+        fits = jnp.einsum("sbwn,bn->sbw", ohc, fits_pre[r]) > 0.5
+        ok = validw if r == 0 else (validw & accr_g)
+        per_rot.append(ok & fits)
+    mask_g = jnp.broadcast_to(
+        jnp.stack(per_rot, axis=-1)[..., None],
+        (N, B, Kw, cfg.num_rot, C)).reshape(N, B, Kw * R * C)
+
+    # exact context summaries from bit counts (integer sums / T)
+    T = N * R
+    pk = (f & 1).sum(-1).astype(jnp.float32)
+    a0 = ((f >> 1) & 1).sum(-1).astype(jnp.float32)
+    ar = ((f >> 2) & 1).sum(-1).astype(jnp.float32)
+    wn = win.sum(-1).astype(jnp.float32)
+    acc_mean = (a0 + ar) / T if R == 2 else a0 / N
+    tf = jnp.broadcast_to((ts[:, None].astype(jnp.float32) / N), (N, B))
+    dsum = jnp.concatenate([
+        jnp.stack([pk / N, acc_mean, wn / N, tf], axis=-1).astype(cdt),
+        jnp.broadcast_to(stat_mean[None], (N, B, 4)),
+    ], axis=-1)                                        # [N, B, 8]
+
+    # position of the chosen action among the window candidates
+    rc = cfg.num_rot * C
+    blk = jnp.clip(act, 0) // rc
+    rank_a = jnp.sum(jnp.where(
+        blk[..., None] == jnp.arange(N, dtype=jnp.int32), rank, 0),
+        axis=-1)                                       # [N, B]
+    pos = jnp.clip(rank_a * rc + jnp.clip(act, 0) % rc, 0, Kw * R * C - 1)
 
     def head_one(se, dy, hg, pa, cx, ds):
         return actor.apply(actor_params, se, dy, hg, pa, cx, ds,
                            method=TAPNetActor.head_ctx)
 
-    def logp_steps(se_bn_c, flags_c, hm_c, act_c, prev_c, ts_c):
-        """logp for a [K, B, ...] slab of decode steps; returns [K, B]."""
-        K = ts_c.shape[0]
-        f = flags_c.astype(jnp.int32)                  # [K, B, N]
-        win = (f >> 3) & 1
-        rank = jnp.cumsum(win, axis=-1) - win          # [K, B, N]
-        onehot = ((rank[..., None, :]
-                   == jnp.arange(Kw, dtype=jnp.int32)[:, None])
-                  & (win[..., None, :] == 1))          # [K, B, Kw, N] bool
-        validw = onehot.any(axis=-1)                   # [K, B, Kw]
-        bidx = (onehot * jnp.arange(N, dtype=jnp.int32)).sum(-1)  # [K,B,Kw]
+    # ---- BATCH-major evaluation. The record and plan are step-major
+    # ([N, B, ...], scan-stacked); the one-hot gather dot wants its batch
+    # dimension LEADING on both operands (else XLA inserts ~0.5 GB layout
+    # copies around every [S*Kw, N] x [N, R*h] GEMM — traced at ~14 ms of
+    # the round-4 first cut). Plan outputs are small (<= 65 MB), so
+    # transposing THEM is cheap, and the big tensors (one-hot, gathered
+    # embeddings, tanh activations) are then BORN in dot-friendly layout.
+    # Rematerialization chunks the BATCH axis (not steps): each chunk is a
+    # full [Bc, N] slab, so the gather stays one well-shaped GEMM per
+    # instance.
+    bmaj = lambda x: jnp.swapaxes(x, 0, 1)
+    plan = tuple(bmaj(x) for x in (bidx, validw, merged, mask_g, dsum,
+                                   record.heightmap, prev, pos, act))
 
+    def logp_rows(se_bn_c, ctx_c, bidx_c, validw_c, merged_c, mask_c,
+                  dsum_c, hm_c, prev_c, pos_c, act_c):
+        """logp for a [Bc, N, ...] slab of instances; returns [Bc]."""
+        Bc = bidx_c.shape[0]
+        # one-hot rebuild from the compact plan (cheap compare — rebuilt
+        # rather than stored: [B, N, Kw, Nb] in bf16 would be 400 MB of xs)
+        oh = ((bidx_c[..., None] == jnp.arange(N, dtype=jnp.int32))
+              & validw_c[..., None]).astype(se_bn_c.dtype)  # [Bc,S,Kw,Nb]
         # differentiable gather of static embeddings: one-hot GEMM (exact —
-        # each output row is 1.0 * one input row)
-        se_g = jnp.einsum("kbwn,bnf->kbwf", onehot.astype(se_bn_c.dtype),
-                          se_bn_c).reshape(K, B, Kw * R, h)
-
-        # non-differentiable gathers (instance constants / recorded flags)
-        gf = jnp.take_along_axis(f, bidx, axis=-1)     # [K, B, Kw]
-        static_g = jax.vmap(lambda bi: jnp.take_along_axis(
-            np_static_bn, bi[..., None], axis=1))(bidx)  # [K, B, Kw, R*4]
-        dims_g = jax.vmap(lambda bi: jnp.take_along_axis(
-            dims, bi[..., None], axis=1))(bidx)          # [K, B, Kw, 3]
-
-        dyn_g = tokens_from_flags(
-            gf, ts_c[:, None].astype(jnp.float32) / N, cfg)  # [K,B,Kw*R,4]
-        merged = jnp.concatenate(
-            [dyn_g, static_g.reshape(K, B, Kw * R, 4)], axis=-1)
-
-        # candidate mask (mask_from_flags restricted to the gathered set):
-        # win bit is true by construction for valid rows; padding rows are
-        # forced infeasible via validw
-        accr_g = ((gf >> 2) & 1).astype(bool)
-        per_rot = []
-        for r in range(cfg.num_rot):
-            d = dims_g
-            if r == 1:
-                ax0, ax1 = cfg.rot_axes
-                perm = [ax1 if k == ax0 else ax0 if k == ax1 else k
-                        for k in range(3)]
-                d = d[..., jnp.array(perm)]
-            fits = ((d[..., 0] <= cfg.target_width)
-                    & (d[..., 1] <= cfg.target_depth))
-            ok = validw if r == 0 else (validw & accr_g)
-            per_rot.append(ok & fits)
-        mask_g = jnp.broadcast_to(
-            jnp.stack(per_rot, axis=-1)[..., None],
-            (K, B, Kw, cfg.num_rot, C)).reshape(K, B, Kw * R * C)
-
-        # exact context summaries from bit counts (integer sums / T)
-        T = N * R
-        pk = (f & 1).sum(-1).astype(jnp.float32)
-        a0 = ((f >> 1) & 1).sum(-1).astype(jnp.float32)
-        ar = ((f >> 2) & 1).sum(-1).astype(jnp.float32)
-        wn = win.sum(-1).astype(jnp.float32)
-        acc_mean = (a0 + ar) / T if R == 2 else a0 / N
-        tf = jnp.broadcast_to((ts_c[:, None].astype(jnp.float32) / N),
-                              (K, B))
-        dsum = jnp.concatenate([
-            jnp.stack([pk / N, acc_mean, wn / N, tf], axis=-1).astype(cdt),
-            jnp.broadcast_to(stat_mean[None], (K, B, 4)),
-        ], axis=-1)                                    # [K, B, 8]
-
-        hmg = heightmap_grid(hm_c, cfg)                # [K, B, C, W, D, 1]
-        ctx_nb = jnp.broadcast_to(ctx[None], (K,) + ctx.shape)
+        # each output row is 1.0 * one input row; backward is a GEMM too)
+        se_g = jnp.einsum("bswn,bnf->bswf", oh,
+                          se_bn_c).reshape(Bc, N, Kw * R, h)
+        hmg = heightmap_grid(hm_c, cfg)                # [Bc, S, C, W, D, 1]
+        ctx_ns = jnp.broadcast_to(ctx_c[:, None], (Bc, N) + ctx_c.shape[1:])
         scores = jax.vmap(jax.vmap(head_one))(
-            se_g, merged, hmg, prev_c, ctx_nb, dsum)   # [K, B, Kw*R*C]
-        masked = _masked_logits(scores, mask_g, temperature)
+            se_g, merged_c, hmg, prev_c, ctx_ns, dsum_c)  # [Bc,S,Kw*R*C]
+        masked = _masked_logits(scores, mask_c, temperature)
+        logp_all = jax.nn.log_softmax(masked, axis=-1)
+        lp = jnp.sum(jnp.where(
+            pos_c[..., None] == jnp.arange(Kw * R * C, dtype=jnp.int32),
+            logp_all, 0.0), axis=-1)                   # [Bc, S]
+        return jnp.where(act_c >= 0, lp, 0.0).sum(axis=1)
 
-        rc = cfg.num_rot * C
-        blk = jnp.clip(act_c, 0) // rc
-        rank_a = jnp.take_along_axis(rank, blk[..., None], axis=-1)[..., 0]
-        pos = jnp.clip(rank_a * rc + jnp.clip(act_c, 0) % rc,
-                       0, Kw * R * C - 1)
-        lp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
-                                 pos[..., None], axis=-1)[..., 0]
-        return jnp.where(act_c >= 0, lp, 0.0)
+    # batch-chunk so one chunk's rematerialized activations stay ~1 GB
+    # (`chunk` counts decode rows as before: Bc = chunk_rows / N)
+    bc = max(1, (chunk * B // N) if chunk < N else B)
+    while B % bc:
+        bc -= 1
+    if bc >= B:
+        return logp_rows(se_bn, ctx, *plan)
 
-    if chunk >= N:
-        return logp_steps(se_bn, record.flags, record.heightmap,
-                          record.action, prev, ts).sum(axis=0)
+    nchunks = B // bc
+    resh = lambda x: x.reshape((nchunks, bc) + x.shape[1:])
+    xs = tuple(resh(x) for x in (se_bn, ctx) + plan)
+    ck = jax.checkpoint(lambda args: logp_rows(*args))
 
-    nchunks = N // chunk
-    resh = lambda x: x.reshape((nchunks, chunk) + x.shape[1:])
-    xs = (resh(record.flags), resh(record.heightmap), resh(record.action),
-          resh(prev), resh(ts))
-    ck = jax.checkpoint(lambda se, args: logp_steps(se, *args).sum(axis=0))
+    def body(_, args):
+        return None, ck(args)
 
-    def body(acc, args):
-        return acc + ck(se_bn, args), None
-
-    total, _ = jax.lax.scan(body, jnp.zeros((B,), jnp.float32), xs)
-    return total
+    _, lp = jax.lax.scan(body, None, xs)
+    return lp.reshape(B)
 
 
 # ------------------------------------------------------------------ #
