@@ -81,7 +81,10 @@ def main():
     baseline = measure_oracle_steps_per_s(cfg)
     native_1t = measure_native_steps_per_s(cfg, n_threads=1)
     if not (args.detail and args.skip_headline):
-        env = measure_env_stats(cfg, batch=4096, iters=100, runs=3)
+        # 512 rollouts/window = 4 grouped dispatches of 128: the ~20 ms
+        # tunnel round-trip of the end-of-window sync amortizes over ~68 ms
+        # of device work instead of ~13 ms (PERF.md: wall-vs-device gap)
+        env = measure_env_stats(cfg, batch=4096, iters=512, runs=3)
         train = measure_train_stats(cfg, batch=4096, iters=20, runs=3)
         rec = {
             "metric": "env-steps/s/chip (2D TAP, batch 4096, full mask+policy+step rollout)",
@@ -139,7 +142,7 @@ def main():
             row = section[name] = {}  # rebuilt wholesale — no stale fields
             if pallas_env.eligible(c) and on_tpu:
                 row["heuristic_fused"] = measure_env_stats(
-                    c, batch=4096, iters=100, runs=3, fused=True)
+                    c, batch=4096, iters=512, runs=3, fused=True)
                 flush()
             row["general_path"] = measure_env_stats(
                 c, batch=4096, iters=50, runs=3, fused=False)

@@ -27,6 +27,10 @@ PLANS = {
     # (BASELINE.json: "Multi-target-container TAP ... and mixed 2D/3D batch")
     "multi-container": dict(epochs=40, steps_per_epoch=250, batch=1024,
                             mixed_p2d=0.5),
+    # config 6 (VERDICT r3 item 4): capped containers — spillover mandatory,
+    # the container-selection axis carries reward
+    "multi-container-capped": dict(epochs=40, steps_per_epoch=250,
+                                   batch=1024),
 }
 
 

@@ -192,8 +192,10 @@ def _env_run(cfg, batch, iters, runs, fused, group=None, device=False):
         (lambda b, k: E.rollout_batch(b, k, cfg, policy="random"))
     if group is None:
         # the tunnel runtime serializes dispatch with execution (no async
-        # overlap), so the fixed ~1 ms/call must be amortized by depth:
-        # 128 fused rollouts ~ 13-18 ms device per call (<10% overhead)
+        # overlap) and each end-of-window sync costs a ~20 ms round trip,
+        # so work must be grouped per dispatch AND windows must span
+        # several dispatches: 128 fused rollouts = 17.2 ms device per call
+        # (128 x 0.1343 ms, confirmed by the profiler — PERF.md §1)
         group = 128 if fused else 4
     group = max(1, min(group, iters))
 

@@ -134,4 +134,14 @@ CONFIGS = {
                                  container_height=8, target_width=8,
                                  target_depth=8, num_containers=2,
                                  allow_rot=True),
+    # 6. Capped multi-container TAP (VERDICT r3 item 4): per-container
+    #    capacity 6*8*8 = 384 < the 512-volume instance, so ANY packing of
+    #    more than 384 volume must spill into container 1 — the container-
+    #    selection axis provably matters (config 5's unbounded geometry
+    #    never forces it). Rotation (w, d swap) keeps every block with
+    #    min(w, d) <= 6 placeable.
+    "multi-container-capped": TAPConfig(
+        dim=3, container_width=8, container_depth=8, container_height=8,
+        target_width=6, target_depth=8, target_height=8, num_containers=2,
+        allow_rot=True),
 }

@@ -89,3 +89,32 @@ def test_mixed_p2d_extremes():
     from tapnet_tpu.env.sampler import sample_batch
     plain = sample_batch(key, B, CFG)
     assert np.array_equal(np.asarray(plain.dims), np.asarray(all3d.dims))
+
+
+def test_capped_multi_container_forces_spillover():
+    """Driver config 6 (VERDICT r3 item 4): per-container capacity
+    6*8*8 = 384 < the 512-volume instance, so the container axis provably
+    matters — any rollout that places more than 384 volume MUST use
+    container 1, and heuristic rollouts route a substantial fraction of
+    placements there. The cap itself is never violated."""
+    cfg = CONFIGS["multi-container-capped"]
+    cap_volume = cfg.target_width * cfg.target_depth * cfg.target_height
+    B = 32
+    key = jax.random.key(5)
+    from tapnet_tpu.env.sampler import sample_batch
+    batch = sample_batch(key, B, cfg)
+    keys = jax.random.split(key, B)
+    states, actions, _ = E.rollout_batch(batch, keys, cfg, policy="first")
+
+    assert int(states.heightmap.max()) <= cfg.target_height
+    cont = np.asarray(states.placements[:, :, 0])          # [B, N]
+    dims = np.asarray(batch.dims)
+    placed_vol = np.where(cont >= 0, dims.prod(axis=2), 0)  # [B, N]
+    total = placed_vol.sum(axis=1)
+    spilled = (np.where(cont == 1, placed_vol, 0).sum(axis=1) > 0)
+    # provable spillover: volume beyond one container's capacity => c1 used
+    assert np.all(spilled[total > cap_volume])
+    assert (total > cap_volume).any()  # the bound actually binds in-sample
+    # and the axis is exercised broadly, not marginally
+    frac1 = (cont == 1).sum() / max((cont >= 0).sum(), 1)
+    assert frac1 > 0.10

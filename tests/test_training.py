@@ -316,6 +316,8 @@ def test_mask_from_flags_matches_recorded_mask():
     from tapnet_tpu.train.rollout import rollout_batch_record
 
     for name, cfg in CONFIGS.items():
+        if cfg.target_height > 0:
+            continue  # capped masks need candidate scans, not flags
         key = jax.random.key(5)
         params = init_params(key, cfg, hidden=32)["actor"]
         instances = jax.vmap(lambda k: sample_instance(k, cfg))(
