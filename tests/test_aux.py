@@ -142,3 +142,21 @@ def test_xplane_jit_device_ms_from_committed_trace():
     assert 0.1 < ms < 1000.0
     tot = device_op_times(trace_dir)
     assert any(k.startswith("jit_train_step") for k in tot)
+
+
+def test_scaling_analytic_budget_clears_bar():
+    """SCALING.md's analytic rows (scripts/scaling_report.py): the gradient
+    all-reduce budget against the measured device step time must clear the
+    >=80% BASELINE bar on every fabric, including zero-overlap DCN."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_report", os.path.join(os.path.dirname(__file__), "..",
+                                       "scripts", "scaling_report.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = mod.analytic_rows(grad_bytes=1_040_000, step_ms=3.32)
+    assert rows[0]["efficiency_lower_bound"] == 1.0
+    for r in rows:
+        assert r["efficiency_lower_bound"] >= 0.8, r
