@@ -31,16 +31,7 @@ def timed(fn, *args, iters=20, warmup=2):
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--config", default="2d-basic")
-    p.add_argument("--batch", type=int, default=4096)
-    p.add_argument("--hidden", type=int, default=128)
-    p.add_argument("--steps-per-call", type=int, default=8, dest="steps_per_call")
-    p.add_argument("--trace-dir", default=None)
-    p.add_argument("--out", default=None, help="write markdown report here")
-    args = p.parse_args()
-
+def profile_config(args):
     import jax
     import jax.numpy as jnp
 
@@ -143,7 +134,7 @@ def main():
         "phases_ms": {k: round(v, 2) for k, v in phases.items()},
         "phases_sum_ms": round(sum(phases.values()), 2),
     }
-    print(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2), flush=True)
 
     if args.trace_dir:
         os.makedirs(args.trace_dir, exist_ok=True)
@@ -153,28 +144,71 @@ def main():
                     ts1, m = step1(ts1)
             jax.block_until_ready(m)
         print(f"trace written to {args.trace_dir}", file=sys.stderr)
+    return report
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="2d-basic",
+                   help="config name, comma list, or 'all'")
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--hidden", type=int, default=128)
+    p.add_argument("--steps-per-call", type=int, default=8,
+                   dest="steps_per_call")
+    p.add_argument("--trace-dir", default=None)
+    p.add_argument("--out", default=None, help="write markdown report here")
+    args = p.parse_args()
+
+    import copy
+
+    import jax
+
+    from tapnet_tpu.config import CONFIGS
+
+    names = (list(CONFIGS) if args.config == "all"
+             else args.config.split(","))
+    reports = []
+    for name in names:
+        a = copy.copy(args)
+        a.config = name
+        a.trace_dir = args.trace_dir if name == names[0] else None
+        reports.append(profile_config(a))
 
     if args.out:
-        total = sum(phases.values())
         lines = [
-            "# Train-step profile — `%s` (batch %d, hidden %d, %s)" % (
-                args.config, B, hidden, jax.default_backend()),
+            "# Train-step phase profiles (batch %d, hidden %d, %s)" % (
+                args.batch, args.hidden, jax.default_backend()),
             "",
-            "Full fused step: **%.2f ms** single-dispatch, **%.2f ms**/step"
-            % (t_full, t_grouped),
-            "grouped %d steps/dispatch = **%s env-steps/s/chip**." % (
-                args.steps_per_call,
-                f"{env_steps / (t_grouped / 1e3):,.0f}"),
+            "Per config: full fused step (single dispatch), grouped"
+            " %d-steps/dispatch per-step time, and ISOLATED phase timings"
+            % args.steps_per_call,
+            "(each phase jitted + measured separately — dispatch-dominated"
+            " for small phases, and the fused step overlaps phases, so the"
+            " phase sum != the fused step; device-time anchors live in"
+            " BENCH_DETAIL.json / PERF.md).",
             "",
-            "Isolated phases (each jitted + measured separately; the fused",
-            "step overlaps/fuses some of them, so the sum ≠ the fused time):",
-            "",
-            "| Phase | ms | % of phase sum |",
-            "|---|---|---|",
+            "| config | full ms | grouped ms/step | env-steps/s | "
+            + " | ".join(reports[0]["phases_ms"]) + " | phase sum |",
+            "|---" * (5 + len(reports[0]["phases_ms"])) + "|",
         ]
-        for k, v in sorted(phases.items(), key=lambda kv: -kv[1]):
-            lines.append("| %s | %.2f | %.0f%% |" % (k, v, 100 * v / total))
-        lines += ["| *sum* | %.2f | |" % total, ""]
+        for r in reports:
+            lines.append(
+                "| `%s` | %.2f | %.2f | %s |" % (
+                    r["config"], r["full_step_ms"], r["grouped_step_ms"],
+                    f"{r['train_env_steps_per_s']:,.0f}")
+                + " " + " | ".join("%.2f" % r["phases_ms"][k]
+                                   for k in reports[0]["phases_ms"])
+                + " | %.2f |" % r["phases_sum_ms"])
+        lines += [
+            "",
+            "Reading: `replay_grad` dominates everywhere (the only"
+            " differentiated pass); `2d-rolling`'s 50-block decode makes"
+            " both rollout and replay ~10x the 10-block configs even after"
+            " the round-4 windowed-token work (PERF.md §3). Isolated-phase"
+            " numbers measure each phase's own dispatch too — treat ratios,"
+            " not absolutes, as the signal.",
+            "",
+        ]
         with open(args.out, "w") as f:
             f.write("\n".join(lines))
         print(f"wrote {args.out}", file=sys.stderr)
