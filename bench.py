@@ -52,9 +52,9 @@ def main():
                                        measure_train_stats)
 
     # Non-lb placement-rule variants of the driver configs (VERDICT r2 item
-    # 7): exact-fraction mcs scoring and a finite target-height cap, both of
-    # which the monolithic heuristic kernel excludes (ops/pallas_env.py) but
-    # the per-decode-step kernel covers.
+    # 7): exact-fraction mcs scoring and a finite target-height cap. As of
+    # round 4 the monolithic heuristic kernel covers ALL of these too
+    # (ops/pallas_env.py — total coverage).
     variants = {
         "2d-mcs-soft": TAPConfig(reward_type="C+P+S-mcs-soft"),
         "2d-mcs-hard": TAPConfig(reward_type="C+P+S-mcs-hard"),

@@ -11,16 +11,17 @@ Bit-exactness: the math is the same integer math as core.py/SPEC.md; the
 policy's threefry draws are precomputed outside (bits(fold_in(key_b, t))), so
 fused and unfused rollouts are exactly equal — tested per-field.
 
-Coverage: BOTH placement rules — `lb` and `mcs` (exact integer-fraction
-scored placement via the u32-limb u64/u128 tournament, shared semantics
-with env.core and ops.pallas_policy_step) — soft/hard variants, unbounded
-target height, policies first/random; 2D (any container count, incl. the
-rolling window) via `_kernel2d` with heightmaps on [C*W, lanes]; 3D (any
-rotation/containers/window) via `_kernel3d` with heightmaps on
-[W, D, lanes]. Finite target heights are covered in 2D single-container
-form (the per-action place-ok mask becomes a width-indexed min-landing
-table in VMEM); 3D/multi-container capped configs fall back to the
-general path (measured row in BENCH_DETAIL.json).
+Coverage is TOTAL: BOTH placement rules — `lb` and `mcs` (exact
+integer-fraction scored placement via the u32-limb u64/u128 tournament,
+shared semantics with env.core and ops.pallas_policy_step) — soft/hard
+variants, policies first/random; 2D via `_kernel2d` with heightmaps on
+[C*W, lanes]; 3D via `_kernel3d` with heightmaps on [W, D, lanes]; any
+rotation/window/container count; unbounded AND finite target heights.
+Capped action masks are per-container min-landing tables in VMEM
+(width-indexed [W] in 2D, (w, d)-indexed [W, D] in 3D); capped
+multi-container selection ranks the flat (block, rot, container) action
+order over per-(rot, container) masks (_select_general) because a finite
+cap makes feasibility container-dependent.
 """
 
 from __future__ import annotations
@@ -42,16 +43,61 @@ BIG = 2**30  # python int: jnp constants would be captured consts in the kernel
 
 
 def eligible(cfg: TAPConfig) -> bool:
-    """Monolithic-kernel coverage: lb AND mcs placement rules (mcs via the
-    same u32-limb exact-fraction tournament as ops.pallas_policy_step),
-    2D and 3D, any rotation/window/container count, unbounded OR (in 2D,
-    single-container) finite target height — the capped action mask is a
-    width-indexed min-landing table in-kernel. 3D or multi-container
-    capped configs use the general jitted path (their per-action mask
-    needs (w, d)-indexed footprint tables; measured fallback row in
-    BENCH_DETAIL.json)."""
-    return (cfg.target_height == 0
-            or (cfg.dim == 2 and cfg.num_containers == 1))
+    """Monolithic-kernel coverage is TOTAL (round 4): lb AND mcs placement
+    rules (mcs via the same u32-limb exact-fraction tournament as
+    ops.pallas_policy_step), 2D and 3D, any rotation/window/container
+    count, unbounded AND finite target heights. Capped action masks are
+    per-container min-landing tables in-kernel: width-indexed [W] in 2D,
+    (w, d)-indexed [W, D] in 3D (the direct generalization VERDICT r3
+    item 4 named); capped multi-container selection ranks the flat
+    (block, rot, container) action order over per-(rot, container) masks
+    (_select_general) since the mask is no longer container-invariant."""
+    return True
+
+
+def _select_general(m_rc, rbits_t, N):
+    """Uniform pick over per-(rot, container) feasibility masks.
+
+    m_rc: [R][C] list of [N, TB] 0/1 masks; rbits_t: [TB] uint32 draws.
+    The sel-th feasible action in flat n-major/(r, then c) order — the
+    exact order of cfg.compose_action — via rank = (#feasible at blocks
+    < n) + (#feasible at n before (r, c)). Used when a finite cap makes
+    the mask container-dependent; the c-invariant fast path elsewhere
+    keeps its cheaper pairs/C arithmetic.
+
+    Returns (ohb [N, TB], r_sel [TB], ocs list of C [TB] one-hots,
+    c_sel [TB], valid [TB], a_idx [TB])."""
+    R = len(m_rc)
+    C = len(m_rc[0])
+    tot = m_rc[0][0]
+    for r in range(R):
+        for c in range(C):
+            if (r, c) != (0, 0):
+                tot = tot + m_rc[r][c]
+    count = jnp.sum(tot, axis=0)                         # [TB]
+    valid = count > 0
+    sel = (rbits_t % jnp.maximum(count, 1).astype(jnp.uint32)
+           ).astype(jnp.int32)
+    cum = _inclusive_prefix_sum(tot) - tot               # rank of (n, 0, 0)
+    off = jnp.zeros_like(tot)
+    ohs = [[None] * C for _ in range(R)]
+    for r in range(R):
+        for c in range(C):
+            ohs[r][c] = m_rc[r][c] * (cum + off == sel[None]).astype(
+                jnp.int32)
+            off = off + m_rc[r][c]
+    ohb = sum(ohs[r][c] for r in range(R) for c in range(C))
+    r_sel = (sum(jnp.sum(ohs[1][c], axis=0) for c in range(C))
+             if R == 2 else jnp.zeros_like(count))
+    ocs = [sum(jnp.sum(ohs[r][c], axis=0) for r in range(R))
+           * valid.astype(jnp.int32) for c in range(C)]
+    c_sel = sum(c * ocs[c] for c in range(1, C)) if C > 1 \
+        else jnp.zeros_like(count)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, m_rc[0][0].shape, 0)
+    a_nr = sum(jnp.sum(ohs[r][c] * (iota_n * R + r), axis=0)
+               for r in range(R) for c in range(C))
+    a_idx = a_nr * C + c_sel
+    return ohb, r_sel, ocs, c_sel, valid, a_idx
 
 
 def _mcs_tournament(cls, keyv, n64, d64, M):
@@ -129,7 +175,6 @@ def _kernel2d(cfg: TAPConfig):
     mcs = cfg.placement_rule == "mcs"
     capped = cfg.target_height > 0
     cap = cfg.height_cap
-    assert not (capped and C > 1), "capped 2D kernel is single-container"
 
     def kernel(dims_w_ref, dims_h_ref, up_ref, rot_ref, ntot_ref, rbits_ref,
                hm_ref, packed_ref, act_ref, place_ref):
@@ -164,58 +209,74 @@ def _kernel2d(cfg: TAPConfig):
             # reproduced exactly: the mask is c-invariant, so the sel-th
             # true action is pair (sel // C) with container (sel % C).
             if capped:
-                # finite height cap: per-(block, rot) place-ok from a
-                # width-indexed min-landing table over the (single)
-                # container's heightmap — M[j, x] = max hm[x..x+j],
-                # minland[j] = min over in-range x; action (w, h) is
-                # placeable iff minland[w-1] + h <= cap (SPEC.md §5)
-                pad0 = jnp.concatenate([hms[0], jnp.zeros_like(hms[0])],
-                                       axis=0)
-                S0 = jnp.stack([pad0[o:o + W, :] for o in range(W)], axis=0)
-                run = S0[0]
-                Mrows = [run]
-                for j in range(1, W):
-                    run = jnp.maximum(run, S0[j])
-                    Mrows.append(run)
-                Mc = jnp.stack(Mrows, axis=0)                    # [W, W, TB]
-                minland = jnp.min(
-                    jnp.where(x_in <= (W - 1) - o_x, Mc, BIG),
-                    axis=1)                                      # [W, TB]
+                # finite height cap: per-(block, rot, container) place-ok
+                # from width-indexed min-landing tables, one per container —
+                # M[j, x] = max hm_c[x..x+j], minland_c[j] = min over
+                # in-range x; action (w, h, c) is placeable iff
+                # minland_c[w-1] + h <= cap (SPEC.md §5)
                 iota_nw = jax.lax.broadcasted_iota(jnp.int32, (N, W, TB), 1)
-                lu0 = jnp.sum(jnp.where(dims_w[:, None, :] - 1 == iota_nw,
-                                        minland[None], 0), axis=1)
-                place0 = (lu0 + dims_h <= cap).astype(jnp.int32)  # [N, TB]
-            else:
-                place0 = 1
-            m0 = obs * (dims_w <= W) * place0
+                place0s, place1s = [], []
+                for c in range(C):
+                    pad0 = jnp.concatenate(
+                        [hms[c], jnp.zeros_like(hms[c])], axis=0)
+                    S0 = jnp.stack([pad0[o:o + W, :] for o in range(W)],
+                                   axis=0)
+                    run = S0[0]
+                    Mrows = [run]
+                    for j in range(1, W):
+                        run = jnp.maximum(run, S0[j])
+                        Mrows.append(run)
+                    Mc = jnp.stack(Mrows, axis=0)                # [W, W, TB]
+                    minland = jnp.min(
+                        jnp.where(x_in <= (W - 1) - o_x, Mc, BIG),
+                        axis=1)                                  # [W, TB]
+                    lu0 = jnp.sum(
+                        jnp.where(dims_w[:, None, :] - 1 == iota_nw,
+                                  minland[None], 0), axis=1)
+                    place0s.append(
+                        (lu0 + dims_h <= cap).astype(jnp.int32))  # [N, TB]
+                    if R == 2:
+                        lu1 = jnp.sum(
+                            jnp.where(dims_h[:, None, :] - 1 == iota_nw,
+                                      minland[None], 0), axis=1)
+                        place1s.append(
+                            (lu1 + dims_w <= cap).astype(jnp.int32))
+            base0 = obs * (dims_w <= W)
             if R == 2:
                 blockedr = jnp.max(rot * unp[:, None, :], axis=0)
                 accr = obs * (1 - blockedr)
-                if capped:
-                    lu1 = jnp.sum(
-                        jnp.where(dims_h[:, None, :] - 1 == iota_nw,
-                                  minland[None], 0), axis=1)
-                    place1 = (lu1 + dims_w <= cap).astype(jnp.int32)
-                else:
-                    place1 = 1
-                m1 = accr * (dims_h <= W) * place1
+                base1 = accr * (dims_h <= W)
             else:
-                m1 = jnp.zeros_like(m0)
-            pairs = m0 + m1                                      # [N, TB]
-            count = jnp.sum(pairs, axis=0) * C                   # [TB]
-            valid = count > 0
-            sel = (rbits[t] % jnp.maximum(count, 1).astype(jnp.uint32)
-                   ).astype(jnp.int32)
-            sel_nr = sel // C
-            c_sel = (sel % C) if C > 1 else jnp.zeros((TB,), jnp.int32)
-            cum = _inclusive_prefix_sum(pairs) - pairs           # rank(n, 0)
-            oh0 = m0 * (cum == sel_nr[None]).astype(jnp.int32)
-            oh1 = m1 * ((cum + m0) == sel_nr[None]).astype(jnp.int32)
+                base1 = jnp.zeros_like(base0)
 
-            ohb = oh0 + oh1                                      # [N, TB]
-            r_sel = (jnp.sum(oh1, axis=0) if R == 2
-                     else jnp.zeros((TB,), jnp.int32))           # [TB]
-            ocs = [((c_sel == c) & valid).astype(jnp.int32) for c in range(C)]
+            if capped and C > 1:
+                # container-dependent mask: rank the flat (n, r, c) order
+                m_rc = [[base0 * place0s[c] for c in range(C)]]
+                if R == 2:
+                    m_rc.append([base1 * place1s[c] for c in range(C)])
+                ohb, r_sel, ocs, c_sel, valid, a_idx = _select_general(
+                    m_rc, rbits[t], N)
+            else:
+                m0 = base0 * (place0s[0] if capped else 1)
+                m1 = base1 * (place1s[0] if capped and R == 2 else 1)
+                pairs = m0 + m1                                  # [N, TB]
+                count = jnp.sum(pairs, axis=0) * C               # [TB]
+                valid = count > 0
+                sel = (rbits[t] % jnp.maximum(count, 1).astype(jnp.uint32)
+                       ).astype(jnp.int32)
+                sel_nr = sel // C
+                c_sel = (sel % C) if C > 1 else jnp.zeros((TB,), jnp.int32)
+                cum = _inclusive_prefix_sum(pairs) - pairs       # rank(n, 0)
+                oh0 = m0 * (cum == sel_nr[None]).astype(jnp.int32)
+                oh1 = m1 * ((cum + m0) == sel_nr[None]).astype(jnp.int32)
+
+                ohb = oh0 + oh1                                  # [N, TB]
+                r_sel = (jnp.sum(oh1, axis=0) if R == 2
+                         else jnp.zeros((TB,), jnp.int32))       # [TB]
+                ocs = [((c_sel == c) & valid).astype(jnp.int32)
+                       for c in range(C)]
+                a_idx = jnp.sum(oh0 * (iota_n * R) + oh1 * (iota_n * R + 1),
+                                axis=0) * C + c_sel
             w_blk = jnp.sum(ohb * dims_w, axis=0)
             h_blk = jnp.sum(ohb * dims_h, axis=0)
             w_eff = jnp.where(r_sel == 1, h_blk, w_blk)          # [TB]
@@ -302,8 +363,6 @@ def _kernel2d(cfg: TAPConfig):
                                    (l_star + h_eff)[None], hms[c])
             packed = packed + ohb * do[None].astype(jnp.int32)
 
-            a_idx = jnp.sum(oh0 * (iota_n * R) + oh1 * (iota_n * R + 1),
-                            axis=0) * C + c_sel
             # static-row update via where (scatter isn't lowered on TPU Pallas)
             actions = jnp.where(iota_n == t, jnp.where(do, a_idx, -1)[None],
                                 actions)
@@ -337,6 +396,8 @@ def _kernel3d(cfg: TAPConfig):
     A = N * R * C
     hard = cfg.placement_variant == "hard"
     mcs = cfg.placement_rule == "mcs"
+    capped = cfg.target_height > 0
+    cap = cfg.height_cap
 
     def kernel(dims_w_ref, dims_d_ref, dims_h_ref, up_ref, rot_ref, ntot_ref,
                rbits_ref, hm_ref, packed_ref, act_ref, place_ref):
@@ -382,27 +443,82 @@ def _kernel3d(cfg: TAPConfig):
             obs = _window_cut(acc0, cfg.window)
             # per-rotation selection decomposition — see the 2D kernel note
             # (no flat [A, TB] interleave reshapes; identical action order)
-            m0 = obs * fits0
+            base0 = obs * fits0
             if R == 2:
                 blockedr = jnp.max(rot * unp[:, None, :], axis=0)
-                m1 = obs * (1 - blockedr) * fits1
+                base1 = obs * (1 - blockedr) * fits1
             else:
-                m1 = jnp.zeros_like(m0)
-            pairs = m0 + m1                                      # [N, TB]
-            count = jnp.sum(pairs, axis=0) * C                   # [TB]
-            valid = count > 0
-            sel = (rbits[t] % jnp.maximum(count, 1).astype(jnp.uint32)
-                   ).astype(jnp.int32)
-            sel_nr = sel // C
-            c_sel = (sel % C) if C > 1 else jnp.zeros((TB,), jnp.int32)
-            cum = _inclusive_prefix_sum(pairs) - pairs           # rank(n, 0)
-            oh0 = m0 * (cum == sel_nr[None]).astype(jnp.int32)
-            oh1 = m1 * ((cum + m0) == sel_nr[None]).astype(jnp.int32)
+                base1 = jnp.zeros_like(base0)
 
-            ohb = oh0 + oh1                                      # [N, TB]
-            r_sel = (jnp.sum(oh1, axis=0) if R == 2
-                     else jnp.zeros((TB,), jnp.int32))           # [TB]
-            ocs = [((c_sel == c) & valid).astype(jnp.int32) for c in range(C)]
+            if capped:
+                # finite height cap: per-(block, rot, container) place-ok
+                # from (w, d)-indexed min-landing tables, one per container
+                # (the direct generalization of the 2D width-indexed table):
+                # minland_c[i, j] = min over in-range (x, y) of the
+                # (i+1, j+1)-footprint max; action placeable iff
+                # minland_c[w-1, d-1] + h <= cap (SPEC.md §5)
+                iw4 = jax.lax.broadcasted_iota(jnp.int32, (N, W, D, TB), 1)
+                id4 = jax.lax.broadcasted_iota(jnp.int32, (N, W, D, TB), 2)
+                place0s, place1s = [], []
+                for c in range(C):
+                    Sx0 = stack_x(hms[c], 0)                 # [W, W, D, TB]
+                    runx = Sx0[0]
+                    entries = []                             # [W][D] of [TB]
+                    for i in range(W):
+                        if i:
+                            runx = jnp.maximum(runx, Sx0[i])
+                        Syi = stack_y(runx, 0)               # [D, W, D, TB]
+                        runy = Syi[0]
+                        rowe = []
+                        for j in range(D):
+                            if j:
+                                runy = jnp.maximum(runy, Syi[j])
+                            in_rng = (x_i <= W - (i + 1)) & \
+                                     (y_i <= D - (j + 1))
+                            rowe.append(jnp.min(
+                                jnp.where(in_rng, runy, BIG), axis=(0, 1)))
+                        entries.append(jnp.stack(rowe, axis=0))  # [D, TB]
+                    minland = jnp.stack(entries, axis=0)     # [W, D, TB]
+                    lu0 = jnp.sum(jnp.where(
+                        (dims_w[:, None, None, :] - 1 == iw4)
+                        & (dims_d[:, None, None, :] - 1 == id4),
+                        minland[None], 0), axis=(1, 2))      # [N, TB]
+                    place0s.append((lu0 + dims_h <= cap).astype(jnp.int32))
+                    if R == 2:
+                        lu1 = jnp.sum(jnp.where(
+                            (dims_d[:, None, None, :] - 1 == iw4)
+                            & (dims_w[:, None, None, :] - 1 == id4),
+                            minland[None], 0), axis=(1, 2))
+                        place1s.append(
+                            (lu1 + dims_h <= cap).astype(jnp.int32))
+
+            if capped and C > 1:
+                m_rc = [[base0 * place0s[c] for c in range(C)]]
+                if R == 2:
+                    m_rc.append([base1 * place1s[c] for c in range(C)])
+                ohb, r_sel, ocs, c_sel, valid, a_idx = _select_general(
+                    m_rc, rbits[t], N)
+            else:
+                m0 = base0 * (place0s[0] if capped else 1)
+                m1 = base1 * (place1s[0] if capped and R == 2 else 1)
+                pairs = m0 + m1                                  # [N, TB]
+                count = jnp.sum(pairs, axis=0) * C               # [TB]
+                valid = count > 0
+                sel = (rbits[t] % jnp.maximum(count, 1).astype(jnp.uint32)
+                       ).astype(jnp.int32)
+                sel_nr = sel // C
+                c_sel = (sel % C) if C > 1 else jnp.zeros((TB,), jnp.int32)
+                cum = _inclusive_prefix_sum(pairs) - pairs       # rank(n, 0)
+                oh0 = m0 * (cum == sel_nr[None]).astype(jnp.int32)
+                oh1 = m1 * ((cum + m0) == sel_nr[None]).astype(jnp.int32)
+
+                ohb = oh0 + oh1                                  # [N, TB]
+                r_sel = (jnp.sum(oh1, axis=0) if R == 2
+                         else jnp.zeros((TB,), jnp.int32))       # [TB]
+                ocs = [((c_sel == c) & valid).astype(jnp.int32)
+                       for c in range(C)]
+                a_idx = jnp.sum(oh0 * (iota_n * R) + oh1 * (iota_n * R + 1),
+                                axis=0) * C + c_sel
 
             w_blk = jnp.sum(ohb * dims_w, axis=0)
             d_blk = jnp.sum(ohb * dims_d, axis=0)
@@ -451,6 +567,8 @@ def _kernel3d(cfg: TAPConfig):
 
             validx = (x_i <= W - w_eff[None, None, :]) & \
                      (y_i <= D - d_eff[None, None, :])
+            if capped:
+                validx = validx & (landing + h_eff[None, None, :] <= cap)
             keyv = (landing * W + x_i) * D + y_i
             if mcs:
                 # exact-score placement — see the 2D kernel note
@@ -529,8 +647,6 @@ def _kernel3d(cfg: TAPConfig):
                 hms[c] = jnp.where(fp & sel_c[None, None, :], top, hms[c])
             packed = packed + ohb * do[None].astype(jnp.int32)
 
-            a_idx = jnp.sum(oh0 * (iota_n * R) + oh1 * (iota_n * R + 1),
-                            axis=0) * C + c_sel
             actions = jnp.where(iota_n == t, jnp.where(do, a_idx, -1)[None],
                                 actions)
 

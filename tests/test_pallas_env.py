@@ -81,30 +81,16 @@ def test_fused_2d_multi_container_parity():
 
 
 def test_eligibility_gate():
-    # driver configs 1-5 are fused-eligible; config 6 (3D capped multi-
-    # container) is the documented general-path fallback (measured row in
-    # BENCH_DETAIL.json)
+    # round-4: coverage is TOTAL — every driver config (incl. config 6,
+    # 3D capped multi-container) and every variant family is fused-eligible
     for name in CONFIGS:
-        if name == "multi-container-capped":
-            assert not eligible(CONFIGS[name])
-            continue
         assert eligible(CONFIGS[name]), name
-    # 2D multi-container is fused-eligible too (r2: kernel extended)
     assert eligible(TAPConfig(num_containers=2, container_height=20))
-    # 2D single-container finite height is fused-eligible (r3: min-landing
-    # table mask in-kernel); 3D capped still needs the general path
     assert eligible(TAPConfig(target_height=12))
-    capped = TAPConfig(dim=3, container_width=8, container_depth=8,
-                       container_height=8, target_width=8, target_depth=8,
-                       target_height=10)
-    assert not eligible(capped)
-    # mcs is fused-eligible too (r3: exact-fraction tournament in-kernel)
+    assert eligible(TAPConfig(dim=3, container_width=8, container_depth=8,
+                              container_height=8, target_width=8,
+                              target_depth=8, target_height=10))
     assert eligible(TAPConfig(reward_type="C+P-mcs-soft"))
-    with pytest.raises(AssertionError):
-        fused_rollout_batch(
-            sample_batch(jax.random.key(0), 4, capped),
-            jax.random.split(jax.random.key(0), 4), capped,
-            interpret=True)
 
 
 MCS_FUSED_CASES = {
@@ -153,9 +139,36 @@ def test_fused_rollout_parity_capped(name):
     _assert_rollout_equal(cfg, B=24, policy="random", seed=13)
 
 
-def test_capped_multicontainer_falls_back():
-    assert not eligible(TAPConfig(dim=3, container_width=8, container_depth=8,
-                                  container_height=8, target_width=8,
-                                  target_depth=8, target_height=10))
-    assert not eligible(TAPConfig(num_containers=2, container_height=20,
-                                  target_height=12))
+CAPPED_3D_MC_CASES = {
+    # driver config 6: spillover-mandatory capped multi-container
+    "config6": CONFIGS["multi-container-capped"],
+    # 3D single-container cap — exercises the (w, d)-indexed min-landing
+    # table without the general selection
+    "3d-capped": TAPConfig(dim=3, container_width=8, container_depth=8,
+                           container_height=8, target_width=8,
+                           target_depth=8, target_height=5, allow_rot=True),
+    # 2D capped multi-container — exercises _select_general with the
+    # width-indexed tables
+    "2d-capped-mc": TAPConfig(container_height=20, target_height=7,
+                              num_containers=2, allow_rot=True),
+    # capped multi-container with exact-fraction mcs placement on top
+    "3d-capped-mc-mcs": TAPConfig(dim=3, container_width=6,
+                                  container_depth=6, container_height=6,
+                                  target_width=6, target_depth=6,
+                                  target_height=4, num_containers=2,
+                                  allow_rot=True,
+                                  reward_type="C+P+S-mcs-hard"),
+}
+
+
+@pytest.mark.parametrize("name", list(CAPPED_3D_MC_CASES))
+@pytest.mark.parametrize("policy", ["first", "random"])
+def test_fused_rollout_parity_capped_3d_multicontainer(name, policy):
+    """Round-4 coverage completion (VERDICT r3 item 4): 3D and
+    multi-container finite-height configs inside the monolithic kernel —
+    per-container (w, d)-indexed min-landing mask tables + flat-order
+    selection over container-dependent masks. Bit-exact vs the general
+    path, including which blocks strand and where spillover lands."""
+    cfg = CAPPED_3D_MC_CASES[name]
+    assert eligible(cfg)
+    _assert_rollout_equal(cfg, B=24, policy=policy, seed=17)
