@@ -158,6 +158,9 @@ CAPPED_3D_MC_CASES = {
                                   target_height=4, num_containers=2,
                                   allow_rot=True,
                                   reward_type="C+P+S-mcs-hard"),
+    # THREE containers: _select_general's flat-order ranking beyond C=2
+    "2d-capped-3c": TAPConfig(container_height=24, target_height=5,
+                              num_containers=3, allow_rot=True),
 }
 
 
