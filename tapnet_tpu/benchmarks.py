@@ -256,13 +256,21 @@ def measure_env_stats(cfg, batch: int, iters: int = 50, runs: int = 3,
 
 def measure_policy_rollout_stats(cfg, batch: int = 4096, hidden: int = 128,
                                  iters: int = 20, runs: int = 3,
-                                 step_kernel: bool = None) -> dict:
+                                 step_kernel: bool = None,
+                                 group: int = 4) -> dict:
     """Learned-policy (actor-in-the-loop) rollout throughput, no gradients.
 
     The train step's inference phase in isolation: actor forward + fused
     select/place kernel per decode step (ops.pallas_policy_step when
     eligible). Counted as batch * num_blocks env steps per rollout.
+
+    `group` rollouts run per device dispatch as one lax.scan (fresh key
+    batch each; actions/logp checksummed into the carry so no work is
+    dead): per-rollout dispatch over the tunnel under-reported the wall
+    number ~3x vs the device anchor (BENCH_DETAIL r4 first cut: 14M wall
+    vs 41M device on 2d-basic).
     """
+    import jax.numpy as jnp
     from tapnet_tpu.models import init_params
     from tapnet_tpu.env import sample_batch
     from tapnet_tpu.train.rollout import rollout_batch_record
@@ -270,21 +278,32 @@ def measure_policy_rollout_stats(cfg, batch: int = 4096, hidden: int = 128,
     key = jax.random.key(0)
     params = init_params(key, cfg, hidden)["actor"]
     instances = sample_batch(key, batch, cfg)
-    keys = jax.random.split(key, batch)
+    group = max(1, min(group, iters))
 
     @jax.jit
-    def policy_rollout_call(p, i, k):
-        return rollout_batch_record(p, i, k, cfg, hidden,
-                                    step_kernel=step_kernel)
+    def policy_rollout_call(p, i, keys_g):
+        def body(acc, k):
+            _, rec, logp = rollout_batch_record(p, i, k, cfg, hidden,
+                                                step_kernel=step_kernel)
+            return (acc[0] + rec.action.sum(), acc[1] + logp.sum()), None
+        return jax.lax.scan(body, (jnp.int32(0), jnp.float32(0)), keys_g)[0]
 
-    jax.block_until_ready(policy_rollout_call(params, instances, keys))
+    n_calls = max(1, iters // group)
+    key_groups = [
+        jnp.stack([jax.random.split(jax.random.key(1 + i * group + g), batch)
+                   for g in range(group)])
+        for i in range(n_calls * runs)]
+    jax.block_until_ready(key_groups)
+    jax.block_until_ready(policy_rollout_call(params, instances,
+                                              key_groups[0]))
     out = _stats(_timed_windows(
-        lambda _: policy_rollout_call(params, instances, keys),
-        iters, runs, batch * cfg.num_blocks), batch, iters)
-    dev = _try_device_ms(lambda: policy_rollout_call(params, instances, keys),
-                         "policy_rollout_call")
+        lambda i: policy_rollout_call(params, instances, key_groups[i]),
+        n_calls, runs, batch * cfg.num_blocks * group), batch, iters)
+    dev = _try_device_ms(
+        lambda: policy_rollout_call(params, instances, key_groups[0]),
+        "policy_rollout_call")
     if dev:
-        out["device_ms_per_rollout"] = round(dev, 3)
+        out["device_ms_per_rollout"] = round(dev / group, 3)
         out["device_env_steps_per_s"] = round(
-            batch * cfg.num_blocks / (dev / 1e3), 1)
+            batch * cfg.num_blocks / (dev / group / 1e3), 1)
     return out
