@@ -80,6 +80,8 @@ def main():
     # single-threaded — the honest "best CPU implementation" anchor.
     baseline = measure_oracle_steps_per_s(cfg)
     native_1t = measure_native_steps_per_s(cfg, n_threads=1)
+    if native_1t != native_1t:  # NaN when no C++ toolchain: keep JSON valid
+        native_1t = None
     if not (args.detail and args.skip_headline):
         # 512 rollouts/window = 4 grouped dispatches of 128: the ~20 ms
         # tunnel round-trip of the end-of-window sync amortizes over ~68 ms
@@ -91,9 +93,11 @@ def main():
             "value": env["value"],
             "unit": "env-steps/s",
             "vs_baseline": round(env["value"] / baseline, 2),
-            "vs_native_1thread": round(env["value"] / native_1t, 2),
+            "vs_native_1thread": (round(env["value"] / native_1t, 2)
+                                  if native_1t else None),
             "host_oracle_steps_per_s": round(baseline, 1),
-            "host_native_1t_steps_per_s": round(native_1t, 1),
+            "host_native_1t_steps_per_s": (round(native_1t, 1)
+                                           if native_1t else None),
             "train_env_steps_per_s": train["value"],
             "env_min": env["min"], "env_max": env["max"],
             "train_min": train["min"], "train_max": train["max"],
@@ -117,7 +121,8 @@ def main():
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json")
         detail = {"host_oracle_steps_per_s": round(baseline, 1),
-                  "host_native_1t_steps_per_s": round(native_1t, 1),
+                  "host_native_1t_steps_per_s": (round(native_1t, 1)
+                                                 if native_1t else None),
                   "configs": {}, "variants": {}}
         if args.configs and os.path.exists(out):
             with open(out) as f:
@@ -125,7 +130,8 @@ def main():
             detail.setdefault("configs", {})
             detail.setdefault("variants", {})
             detail["host_oracle_steps_per_s"] = round(baseline, 1)
-            detail["host_native_1t_steps_per_s"] = round(native_1t, 1)
+            detail["host_native_1t_steps_per_s"] = (
+                round(native_1t, 1) if native_1t else None)
         subset = (set(args.configs.split(",")) if args.configs
                   else set(all_named))
         on_tpu = jax.default_backend() == "tpu"

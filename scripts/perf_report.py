@@ -113,7 +113,6 @@ def measure_all():
         }
         try:
             # FLOPs of one grouped call / spc — the XLA cost model's count
-            from tapnet_tpu.train.reinforce import make_train_step as _m
             comp = jax.jit(lambda t: step(t)).lower(box[0]).compile()
             ca = comp.cost_analysis() or {}
             fl = float(ca.get("flops", 0.0)) / spc

@@ -30,14 +30,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
 
-import jax  # noqa: E402
+def _configure_cpu_mesh():
+    """Force an 8-virtual-device CPU platform. Called from main() only, so
+    importing this module (tests exec it for analytic_rows) mutates no
+    global JAX/XLA state."""
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
-
-import numpy as np  # noqa: E402
+    jax.config.update("jax_platforms", "cpu")
 
 # Interconnect assumptions (stated, not measured — no multi-chip hardware
 # here). v5e: 1,600 Gbps/chip ICI (Google Cloud TPU v5e spec) -> 100 GB/s
@@ -78,6 +80,10 @@ def main():
                         "BENCH_r*.json if present, else 3.32)")
     p.add_argument("--hidden", type=int, default=128)
     args = p.parse_args()
+
+    _configure_cpu_mesh()
+    import jax
+    import numpy as np
 
     from tapnet_tpu.config import CONFIGS, TAPConfig
     from tapnet_tpu.models import init_params

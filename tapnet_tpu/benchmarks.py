@@ -180,7 +180,6 @@ def _env_run(cfg, batch, iters, runs, fused, group=None, device=False):
     (distinct key batches; rewards+actions checksummed into the carry so no
     work is dead). iters is the TOTAL rollout count per window.
     """
-    import jax.numpy as jnp
     from tapnet_tpu.env import core as E
     from tapnet_tpu.env import sample_batch
     from tapnet_tpu.ops.pallas_env import eligible, fused_rollout_batch
@@ -270,7 +269,6 @@ def measure_policy_rollout_stats(cfg, batch: int = 4096, hidden: int = 128,
     number ~3x vs the device anchor (BENCH_DETAIL r4 first cut: 14M wall
     vs 41M device on 2d-basic).
     """
-    import jax.numpy as jnp
     from tapnet_tpu.models import init_params
     from tapnet_tpu.env import sample_batch
     from tapnet_tpu.train.rollout import rollout_batch_record

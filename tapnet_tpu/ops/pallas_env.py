@@ -55,7 +55,7 @@ def eligible(cfg: TAPConfig) -> bool:
     return True
 
 
-def _select_general(m_rc, rbits_t, N):
+def _select_general(m_rc, rbits_t):
     """Uniform pick over per-(rot, container) feasibility masks.
 
     m_rc: [R][C] list of [N, TB] 0/1 masks; rbits_t: [TB] uint32 draws.
@@ -255,7 +255,7 @@ def _kernel2d(cfg: TAPConfig):
                 if R == 2:
                     m_rc.append([base1 * place1s[c] for c in range(C)])
                 ohb, r_sel, ocs, c_sel, valid, a_idx = _select_general(
-                    m_rc, rbits[t], N)
+                    m_rc, rbits[t])
             else:
                 m0 = base0 * (place0s[0] if capped else 1)
                 m1 = base1 * (place1s[0] if capped and R == 2 else 1)
@@ -497,7 +497,7 @@ def _kernel3d(cfg: TAPConfig):
                 if R == 2:
                     m_rc.append([base1 * place1s[c] for c in range(C)])
                 ohb, r_sel, ocs, c_sel, valid, a_idx = _select_general(
-                    m_rc, rbits[t], N)
+                    m_rc, rbits[t])
             else:
                 m0 = base0 * (place0s[0] if capped else 1)
                 m1 = base1 * (place1s[0] if capped and R == 2 else 1)

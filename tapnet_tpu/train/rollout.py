@@ -107,6 +107,39 @@ def _use_windowed_head(cfg: TAPConfig) -> bool:
     return 0 < cfg.window < cfg.num_blocks and cfg.target_height == 0
 
 
+def _window_onehot(f, Kw: int):
+    """Shared window-gather plan from int32 flag words [..., N] (leading
+    axes arbitrary): (win, rank, onehot [..., Kw, N] bool, validw).
+
+    The rollout head and the replay MUST build the identical one-hot for
+    REINFORCE correctness (replayed logp of the sampled actions); keeping
+    one implementation makes divergence impossible."""
+    win = (f >> 3) & 1
+    rank = jnp.cumsum(win, axis=-1) - win
+    onehot = ((rank[..., None, :]
+               == jnp.arange(Kw, dtype=jnp.int32)[:, None])
+              & (win[..., None, :] == 1))
+    return win, rank, onehot, onehot.any(axis=-1)
+
+
+def _window_dsum(f, win, t_frac, stat_mean, cfg: TAPConfig, cdt):
+    """Shared exact full-token context summary [..., 8]: the head's mean
+    merged token computed from integer bit counts (sums of 0/1 are exact
+    in any float dtype) + the precomputed static-feature means. t_frac
+    must broadcast against f[..., N].sum(-1); stat_mean is [..., 4] cdt."""
+    N, R = cfg.num_blocks, cfg.num_rot
+    T = N * R
+    pk = (f & 1).sum(-1).astype(jnp.float32)
+    a0 = ((f >> 1) & 1).sum(-1).astype(jnp.float32)
+    ar = ((f >> 2) & 1).sum(-1).astype(jnp.float32)
+    wn = win.sum(-1).astype(jnp.float32)
+    acc_mean = (a0 + ar) / T if R == 2 else a0 / N
+    tf = jnp.broadcast_to(jnp.asarray(t_frac, jnp.float32), pk.shape)
+    dyn4 = jnp.stack([pk / N, acc_mean, wn / N, tf], axis=-1).astype(cdt)
+    return jnp.concatenate(
+        [dyn4, jnp.broadcast_to(stat_mean, dyn4.shape[:-1] + (4,))], axis=-1)
+
+
 def _make_windowed_head(actor, actor_params, instances: Instance,
                         static, static_emb, cfg: TAPConfig, hidden, dtype):
     """Per-decode-step head for rolling configs: gather the <=window
@@ -142,11 +175,7 @@ def _make_windowed_head(actor, actor_params, instances: Instance,
 
     def win_head(flags, heightmap, prev, t_frac):
         f = flags.astype(jnp.int32)                    # [B, N]
-        win = (f >> 3) & 1
-        rank = jnp.cumsum(win, axis=-1) - win
-        onehot = ((rank[:, None, :]
-                   == jnp.arange(Kw, dtype=jnp.int32)[:, None])
-                  & (win[:, None, :] == 1))            # [B, Kw, N] bool
+        win, rank, onehot, validw = _window_onehot(f, Kw)  # oh [B, Kw, N]
         oh32 = onehot.astype(jnp.float32)
 
         # all contractions in compute dtype: a one-hot dot has exactly one
@@ -162,17 +191,7 @@ def _make_windowed_head(actor, actor_params, instances: Instance,
         merged = jnp.concatenate(
             [dyn_g, static_g.reshape(B, Kw * R, 4)], axis=-1)
 
-        T = N * R
-        pk = (f & 1).sum(-1).astype(jnp.float32)
-        a0 = ((f >> 1) & 1).sum(-1).astype(jnp.float32)
-        ar = ((f >> 2) & 1).sum(-1).astype(jnp.float32)
-        wn = win.sum(-1).astype(jnp.float32)
-        acc_mean = (a0 + ar) / T if R == 2 else a0 / N
-        tf = jnp.broadcast_to(jnp.asarray(t_frac, jnp.float32), (B,))
-        dsum = jnp.concatenate([
-            jnp.stack([pk / N, acc_mean, wn / N, tf], axis=-1).astype(cdt),
-            stat_mean,
-        ], axis=-1)                                    # [B, 8]
+        dsum = _window_dsum(f, win, t_frac, stat_mean, cfg, cdt)  # [B, 8]
 
         hmg = heightmap_grid(heightmap, cfg)
         scores = jax.vmap(head_one)(se_g, merged, hmg, prev,
@@ -376,6 +395,7 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
     if windowed is None:
         windowed = 0 < cfg.window < cfg.num_blocks and cfg.target_height == 0
     if windowed:
+        assert cfg.window > 0, "windowed replay needs a rolling window"
         assert cfg.target_height == 0, "windowed replay rebuilds the mask " \
             "from flags; finite-height masks need the recorded candidates"
         return _replay_logp_windowed(actor_params, instances, record, cfg,
@@ -526,12 +546,7 @@ def _replay_logp_windowed(actor_params, instances: Instance,
     # XLA fuses it across the whole [N] axis. The body below is pure tensor
     # math: one-hot rebuild + gather GEMM + head + masked log-softmax.
     f = record.flags.astype(jnp.int32)                 # [N, B, Nb]
-    win = (f >> 3) & 1
-    rank = jnp.cumsum(win, axis=-1) - win              # [N, B, Nb]
-    onehot = ((rank[..., None, :]
-               == jnp.arange(Kw, dtype=jnp.int32)[:, None])
-              & (win[..., None, :] == 1))              # [N, B, Kw, Nb] bool
-    validw = onehot.any(axis=-1)                       # [N, B, Kw]
+    win, rank, onehot, validw = _window_onehot(f, Kw)  # oh [N, B, Kw, Nb]
     # compute-dtype one-hot: a one-hot dot has exactly one nonzero term,
     # so bf16 accumulation is still exact (and halves the oh bytes)
     ohc = onehot.astype(cdt)
@@ -565,18 +580,9 @@ def _replay_logp_windowed(actor_params, instances: Instance,
         jnp.stack(per_rot, axis=-1)[..., None],
         (N, B, Kw, cfg.num_rot, C)).reshape(N, B, Kw * R * C)
 
-    # exact context summaries from bit counts (integer sums / T)
-    T = N * R
-    pk = (f & 1).sum(-1).astype(jnp.float32)
-    a0 = ((f >> 1) & 1).sum(-1).astype(jnp.float32)
-    ar = ((f >> 2) & 1).sum(-1).astype(jnp.float32)
-    wn = win.sum(-1).astype(jnp.float32)
-    acc_mean = (a0 + ar) / T if R == 2 else a0 / N
-    tf = jnp.broadcast_to((ts[:, None].astype(jnp.float32) / N), (N, B))
-    dsum = jnp.concatenate([
-        jnp.stack([pk / N, acc_mean, wn / N, tf], axis=-1).astype(cdt),
-        jnp.broadcast_to(stat_mean[None], (N, B, 4)),
-    ], axis=-1)                                        # [N, B, 8]
+    # exact context summaries from bit counts (shared with the rollout head)
+    dsum = _window_dsum(f, win, ts[:, None].astype(jnp.float32) / N,
+                        stat_mean[None], cfg, cdt)     # [N, B, 8]
 
     # position of the chosen action among the window candidates
     rc = cfg.num_rot * C

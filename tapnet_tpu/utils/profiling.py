@@ -45,9 +45,11 @@ def device_time_ms(fn, name: str, iters: int = 5, warmup: int = 2,
 
     from tapnet_tpu.utils.xplane import jit_device_ms
 
+    out = None
     for _ in range(warmup):
         out = fn()
-    jax.block_until_ready(out)
+    if out is not None:
+        jax.block_until_ready(out)
     ctx = (contextlib.nullcontext(trace_dir) if trace_dir
            else tempfile.TemporaryDirectory())
     with ctx as d:

@@ -109,9 +109,14 @@ def op_times(path):
 
 
 def latest_xplane(trace_dir: str) -> str:
-    """Newest *.xplane.pb under a jax.profiler trace directory."""
+    """Newest *.xplane.pb under a jax.profiler trace directory.
+
+    Sorted by (mtime, path): jax.profiler names session dirs by timestamp,
+    so the lexicographic tiebreak keeps the choice deterministic when a
+    fresh checkout gives every committed trace the same mtime."""
     cands = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                             recursive=True), key=os.path.getmtime)
+                             recursive=True),
+                   key=lambda p: (os.path.getmtime(p), p))
     if not cands:
         raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
     return cands[-1]
