@@ -29,14 +29,23 @@ def _stats(vals, batch, iters):
 
 def _try_device_ms(fn, name, iters=3):
     """Profiler device ms/call of fn, or None when no device plane exists
-    (CPU backend) or tracing fails — benchmarks must never die to profiling."""
+    (CPU backend) or tracing fails — benchmarks must never die to profiling.
+
+    On a TPU backend a failure is loudly warned (ADVICE r4): a silently
+    vanished device anchor is indistinguishable from an intentional CPU run
+    in the committed JSON, and device time is the number of record."""
+    import sys
+
     from tapnet_tpu.utils.profiling import device_time_ms
 
     if jax.default_backend() != "tpu":
         return None
     try:
         return device_time_ms(fn, name, iters=iters, warmup=1)
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — any profiling failure is non-fatal
+        print(f"WARNING: device-time attribution for {name!r} failed on a "
+              f"TPU backend ({type(e).__name__}: {e}); device anchors will "
+              "be missing from this row", file=sys.stderr)
         return None
 
 

@@ -146,10 +146,15 @@ def _make_windowed_head(actor, actor_params, instances: Instance,
     observable blocks, score those tokens only, scatter scores back to the
     full [B, A] logit vector (0 at non-window positions — all masked).
 
-    Valid-position logits are BIT-IDENTICAL to the full head: gathers are
-    exact one-hot contractions and the head's context summaries are exact
-    integer-count arithmetic (see _replay_logp_windowed, which shares the
-    math). Cuts per-step head bytes/FLOPs by ~N/window (5x for the rolling
+    Valid-position logits are BIT-IDENTICAL to the full head in f32 compute:
+    gathers are exact one-hot contractions and the context summaries are
+    exact integer-count arithmetic (see _replay_logp_windowed, which shares
+    the math). In bf16 compute the summaries here are computed MORE exactly
+    than the full head's (integer counts summed in f32, cast once, vs the
+    full head's bf16-accumulated means), so the two can differ by rounding —
+    what is guaranteed in bf16 is rollout/replay consistency (both use these
+    shared helpers), which is what REINFORCE correctness needs (ADVICE r4).
+    Cuts per-step head bytes/FLOPs by ~N/window (5x for the rolling
     driver config, where the decode scan was HBM-bound on [B, 100, h]
     intermediates).
 
@@ -503,7 +508,10 @@ def _replay_logp_windowed(actor_params, instances: Instance,
         # single-slab when the rematerialized activations fit comfortably
         # (~6 tensors of [B, N, Kw*R, h] compute-dtype each — measured 11%
         # faster than 2-way batch chunking for the rolling driver config);
-        # otherwise chunk the batch axis to a ~1 GB activation budget
+        # the 8 GB estimate threshold leaves ~half a 16 GB chip for
+        # everything else; past it, chunk the batch axis so one chunk's
+        # rematerialized slab is ~1 GB (ADVICE r4: threshold and chunk
+        # budget are intentionally different numbers)
         est = B * N * Kw * R * h * jnp.dtype(dtype).itemsize * 6
         chunk = N if est <= 8e9 else max(1, min(N, 163840 // max(B, 1)))
     while N % chunk:

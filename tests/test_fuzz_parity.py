@@ -46,7 +46,7 @@ def _random_cfg(rng: np.random.Generator) -> TAPConfig:
 # The fuzz matrix rotates by round (VERDICT r2 item 9): 6 seeds in the fast
 # suite keyed off TAPNET_FUZZ_ROUND (fresh geometry coverage each round,
 # stable within a round so the compile cache stays warm), 6 more under slow.
-ROUND = int(os.environ.get("TAPNET_FUZZ_ROUND", "4"))
+ROUND = int(os.environ.get("TAPNET_FUZZ_ROUND", "5"))
 
 
 @pytest.mark.parametrize("seed", range(6))
