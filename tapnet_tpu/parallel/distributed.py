@@ -72,3 +72,32 @@ def make_global(tree, mesh, spec=None):
 def local_value(x):
     """Host-local view of a (replicated) global array's first local shard."""
     return x.addressable_data(0)
+
+
+def broadcast_from_main(tree):
+    """Replicate process-0's leaf values to every process.
+
+    SURVEY.md §5 checkpoint contract: process 0 reads the checkpoint file and
+    the restored TrainState is *broadcast* on restore — other processes never
+    touch the filesystem (their checkpoint dir may not even exist on a real
+    pod). Typed PRNG keys are carried as raw key_data and re-wrapped with
+    their original impl. Single-process runs are an exact no-op, so the
+    trainer calls this unconditionally."""
+    import jax
+
+    if jax.process_count() == 1:
+        return tree
+    import numpy as np
+    from jax.experimental import multihost_utils as mh
+
+    is_key = jax.tree.map(
+        lambda x: hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key), tree)
+    data = jax.tree.map(
+        lambda x, k: np.asarray(jax.random.key_data(x)) if k
+        else np.asarray(x), tree, is_key)
+    out = mh.broadcast_one_to_all(data)
+    return jax.tree.map(
+        lambda x, k, orig: jax.random.wrap_key_data(
+            x, impl=jax.random.key_impl(orig)) if k else x,
+        out, is_key, tree)

@@ -98,17 +98,37 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
         with nan_checks():
             return train(cfg, dataclasses.replace(loop, nan_checks=False),
                          resume=resume, mesh=mesh)
-    logger = MetricsLogger(loop.metrics_path, tb_dir=loop.tb_dir)
+    # Multi-host discipline (SURVEY.md §5 checkpoint row, VERDICT r4 item 3):
+    # process 0 owns every filesystem side effect — checkpoint writes, JSONL
+    # metrics, TensorBoard summaries, the profiler trace — and the held-out
+    # eval; restore is process-0-read + broadcast. All processes execute the
+    # identical train-step sequence (the only cross-process communication is
+    # the gradient psum inside the step and the restore broadcast).
+    nproc = jax.process_count()
+    is_main = jax.process_index() == 0
+    logger = MetricsLogger(loop.metrics_path if is_main else None,
+                           echo=is_main,
+                           tb_dir=loop.tb_dir if is_main else None)
     ts = init_train_state(jax.random.key(loop.seed), cfg, loop.hidden,
                           loop.lr, loop.clip)
     if resume and loop.ckpt_dir:
-        path = ckpt.latest_checkpoint(loop.ckpt_dir)
-        if path:
-            ts = ckpt.restore_checkpoint(path, ts)
-            logger.log(int(ts.step), {}, event="resumed", ckpt=path)
+        if is_main:
+            path = ckpt.latest_checkpoint(loop.ckpt_dir)
+            if path:
+                ts = ckpt.restore_checkpoint(path, ts)
+                logger.log(int(ts.step), {}, event="resumed", ckpt=path)
+        if nproc > 1:
+            from tapnet_tpu.parallel.distributed import broadcast_from_main
+            ts = broadcast_from_main(ts)
     if mesh is not None:
-        from tapnet_tpu.parallel.mesh import put_replicated
-        ts = put_replicated(ts, mesh)
+        cross_process = any(d.process_index != jax.process_index()
+                            for d in mesh.devices.flat)
+        if cross_process:
+            from tapnet_tpu.parallel.distributed import make_global
+            ts = make_global(ts, mesh)
+        else:
+            from tapnet_tpu.parallel.mesh import put_replicated
+            ts = put_replicated(ts, mesh)
 
     spc = max(1, loop.steps_per_call)
     train_step = make_train_step(cfg, loop.batch, loop.hidden, loop.lr,
@@ -132,7 +152,7 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
         n_steps = loop.steps_per_epoch - int(ts.step) % loop.steps_per_epoch
         ts, metrics = train_step(ts)  # first step pays compile; not counted
         jax.block_until_ready(metrics)
-        if loop.trace_dir and not traced:
+        if loop.trace_dir and is_main and not traced:
             # committed perfetto trace of 3 steady-state steps (SURVEY.md §5)
             traced = True
             with trace(loop.trace_dir):
@@ -148,10 +168,23 @@ def train(cfg: TAPConfig, loop: TrainLoopConfig, resume: bool = True,
         jax.block_until_ready(metrics)
         sps.update(calls * spc)
         with annotate("evaluate"):
-            valid = evaluate(ts.params, cfg, loop)
+            if nproc > 1:
+                # process-0-only eval on its LOCAL param copy: running the
+                # replicated-global params through eval would make it an
+                # SPMD program every process must enter (deadlock if gated),
+                # while N processes evaluating redundantly is the duplicate
+                # work VERDICT r4 weak #3 calls out. local_value detaches
+                # the replica so eval is a purely local program.
+                valid = {}
+                if is_main:
+                    from tapnet_tpu.parallel.distributed import local_value
+                    params_local = jax.tree.map(local_value, ts.params)
+                    valid = evaluate(params_local, cfg, loop)
+            else:
+                valid = evaluate(ts.params, cfg, loop)
         logger.log(int(ts.step), metrics, epoch=epoch, **sps.metrics(),
                    **{k: v for k, v in valid.items()})
-        if loop.ckpt_dir:
+        if loop.ckpt_dir and is_main:
             ckpt.save_checkpoint(loop.ckpt_dir, ts)
     logger.close()
     return ts

@@ -82,6 +82,82 @@ def test_two_process_train_step_matches_single_process():
                                        err_msg=k)
 
 
+def _spawn_workers(args, n=2, timeout=300):
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(n), str(port)] + args,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO)
+        for i in range(n)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(out)
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_trainer_end_to_end_with_resume(tmp_path):
+    """trainer.train() across 2 OS processes with a mid-run restart
+    (VERDICT r4 item 3): generation 1 trains 1 epoch and exits ("kill"),
+    generation 2 resumes — process 0 reads the checkpoint, broadcast
+    distributes it — and trains to completion. Asserts:
+
+    - process-0-only filesystem discipline (one metrics file, written once);
+    - the resumed run logs the `resumed` event;
+    - the final checkpoint params match an UNINTERRUPTED single-process
+      8-virtual-device run of the same loop config.
+    """
+    import jax
+    from tapnet_tpu.parallel.mesh import cpu_mesh
+    from tapnet_tpu.train import checkpoints as ckpt
+    from tapnet_tpu.train.reinforce import init_train_state
+    from tapnet_tpu.train.trainer import TrainLoopConfig, train
+
+    work = tmp_path / "dist"
+    work.mkdir()
+    # generation 1: 1 epoch (4 steps), then the processes exit
+    _spawn_workers(["trainer", "1", str(work)])
+    assert (work / "ckpt" / "ckpt_00000004.msgpack").exists()
+    lines1 = (work / "metrics.jsonl").read_text().splitlines()
+
+    # generation 2: resumes from step 4, trains to step 8
+    outs = _spawn_workers(["trainer", "2", str(work)])
+    assert any(line.strip() == "TRAINED step=8"
+               for line in outs[0].splitlines()), outs[0]
+    lines2 = (work / "metrics.jsonl").read_text().splitlines()
+    assert len(lines2) > len(lines1)
+    assert any(json.loads(l).get("event") == "resumed" for l in lines2)
+
+    # uninterrupted single-process reference (same seed, same 8-device mesh)
+    cfg = TAPConfig(dim=2, num_blocks=6, min_blocks=6, container_width=6,
+                    container_height=6, target_width=6, allow_rot=True)
+    loop = TrainLoopConfig(epochs=2, steps_per_epoch=4, batch=16,
+                           valid_batch=16, hidden=32, seed=0,
+                           ckpt_dir=str(tmp_path / "ref_ckpt"))
+    ts_ref = train(cfg, loop, resume=False, mesh=cpu_mesh(8))
+
+    template = init_train_state(jax.random.key(0), cfg, hidden=32)
+    ts_dist = ckpt.restore_checkpoint(
+        str(work / "ckpt" / "ckpt_00000008.msgpack"), template)
+    ref_leaves = jax.tree.leaves(ts_ref.params)
+    got_leaves = jax.tree.leaves(ts_dist.params)
+    assert len(ref_leaves) == len(got_leaves)
+    for r, g in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_initialize_distributed_noop_without_config(monkeypatch):
     """Single-host: no env vars, no explicit coordinator -> no-op False."""
     for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
