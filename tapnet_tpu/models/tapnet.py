@@ -222,6 +222,49 @@ class TAPNetCritic(nn.Module):
         return nn.Dense(1, dtype=self.dtype)(z)[0].astype(jnp.float32)
 
 
+def embed_static_T(actor_params, static_t, dtype=jnp.float32):
+    """Transposed twin of `TAPNetActor.embed_static`: cdt[4, M] -> [h, M].
+
+    Computes the SAME residual-encoder + key-projection chain with every
+    GEMM transposed (W^T @ X, batch columns on lanes), so the fused actor
+    kernel's [h, T, B] static-embedding operand is BORN in its layout — the
+    straightforward `embed_static(...).transpose(...)` forced XLA into a
+    [B, T, h] -> [h, T, B] layout copy worth ~0.9 ms/step at batch 4096
+    (traced; see ops/pallas_actor_step.py). Values match embed_static to
+    accumulation-order tolerance (SPEC.md §12 tier 2): per-row GEMM dots
+    and LayerNorm statistics sum in a different order; the formula —
+    fast-variance LayerNorm in f32 statistics, per-layer cast to the
+    compute dtype — is identical.
+    """
+    cdt = jnp.dtype(dtype).type
+    f32 = jnp.float32
+    p = actor_params["params"]["token_enc"]
+    kp = actor_params["params"]["key_proj"]["kernel"].astype(cdt)
+
+    def dense(name, x):
+        w = p[name]["kernel"].astype(cdt)
+        b = p[name]["bias"].astype(cdt)
+        return w.T @ x + b[:, None]
+
+    x = dense("Dense_0", static_t.astype(cdt))
+    for blk in range(2):
+        ln = p[f"LayerNorm_{blk}"]
+        xf = x.astype(f32)
+        mu = xf.mean(axis=0, keepdims=True)
+        var = (xf * xf).mean(axis=0, keepdims=True) - mu * mu
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(cdt)
+        y = (y * ln["scale"].astype(cdt)[:, None]
+             + ln["bias"].astype(cdt)[:, None])
+        # flax compact naming: the OUTER Dense of `Dense(relu(Dense(y)))` is
+        # constructed (and named) first — outer = Dense_{2b+1}, inner =
+        # Dense_{2b+2} (verified against the param tree; both are [h, h],
+        # so a swap fails silently on shapes and loudly on values)
+        y = dense(f"Dense_{2 * blk + 1}",
+                  jnp.maximum(dense(f"Dense_{2 * blk + 2}", y), 0))
+        x = x + y
+    return kp.T @ x
+
+
 def init_params(key, cfg: TAPConfig, hidden: int = 128) -> dict[str, Any]:
     """Initialize {actor, critic} param trees from dummy shapes."""
     T = cfg.num_blocks * cfg.num_rot

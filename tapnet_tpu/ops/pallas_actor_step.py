@@ -1,0 +1,332 @@
+"""Fused ACTOR-HEAD decode-step kernel: the whole per-step policy in one launch.
+
+The per-step select+place kernel (`pallas_policy_step.py`) removed the env
+half of the learned-rollout decode step; the actor half — dynamic flags,
+feasibility mask, the pointer head's GEMMs/attention, masked Gumbel argmax —
+still ran as ~30 small XLA ops per step, and PERF.md §3 shows the 2d-basic
+train step is LATENCY-bound on exactly that op stream (no op >5%, ~3x from
+its bandwidth light speed). This kernel fuses the entire decode step:
+
+    packed/heightmap state -> accessibility (bitmask precedence) -> flags
+    -> mask -> dyn-MLP + heightmap-encoder + prev-embed + query GEMMs
+    -> additive pointer attention -> masked logits (+ gumbel) -> argmax
+    -> select/place (shared `pallas_policy_step.select_place` body)
+
+one `pallas_call` per decode step. EVERYTHING inside stays batch-on-lanes
+([state, B] — the layout of every env kernel here): the head's GEMMs run
+transposed (W^T @ X with the batch as the GEMM N dimension), so the float
+path needs ZERO in-kernel transposes and meets the integer env math in its
+native layout. Three alternatives were built and traced first: producing
+the static embedding row-major and transposing outside lost the whole
+rollout win to a ~0.9 ms/step XLA layout copy; flipping the head row-major
+inside the kernel cost ~2x in small in-kernel transposes; slicing a
+[h, T, B] embedding along the middle (sublane) dim per token cost ~2x in
+offset relayouts. The winning form keeps the kernel pure batch-on-lanes
+with per-token LEADING-dim slices of a [T, h, B] embedding, which
+`models.tapnet.embed_static_T` computes transposed in XLA (same chain,
+W^T @ X -> [h, T, B]) followed by one lane-preserving leading-dims
+transpose.
+
+Exactness contract (SPEC.md §12, two tiers):
+- integer state (flags, mask, env updates, placements) is BIT-EXACT vs the
+  general path — accessibility/window/fit logic is integer math reproduced
+  1:1 (tested in tests/test_actor_step.py);
+- float logits follow the same formula with the same rounding points as the
+  XLA head (per-layer cast to the compute dtype) but different GEMM /
+  LayerNorm accumulation order, so they agree to accumulation-order
+  tolerance, not bitwise. In f32 the observed divergence is ~1e-6 relative
+  — far below typical gumbel argmax margins — so action sequences match in
+  practice and the tests assert action equality PLUS a logit tolerance;
+  bf16 rollouts are validated distributionally (SPEC.md §12 /
+  scripts/tpu_parity.py).
+
+Coverage: unbounded-height, non-windowed configs with N <= 31 (2d-basic,
+2d-rot, 3d-basic, multi-container — the bitmask precedence packs into one
+int32 lane). Rolling (windowed head) and finite-height configs keep the
+select_step path (`rollout.py` auto-selects per config).
+
+Reference parity anchor: the decode loop this replaces is SURVEY.md §3.1's
+actor-in-the-loop GPU/CPU hot loop (model.py forward + pack.py step per
+decode step, unverified names — mount empty)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tapnet_tpu.config import TAPConfig
+from tapnet_tpu.ops.pallas_policy_step import select_place
+
+NEG = -1e9
+
+
+def eligible(cfg: TAPConfig) -> bool:
+    """Unbounded height, no rolling window, bitmask-size precedence."""
+    return (cfg.target_height == 0 and cfg.window == 0
+            and cfg.num_blocks <= 31)
+
+
+def batch_tile(B: int) -> int:
+    """Largest power-of-two batch tile <= TAPNET_ACTOR_BT (default 1024)
+    dividing B (B % 128 == 0). The tile bounds per-launch VMEM: blocks are
+    double-buffered across grid steps, and the static-embedding block
+    [h, T, BT] dominates (~5 MB at T=20/f32/BT=1024)."""
+    import os
+
+    bt = int(os.environ.get("TAPNET_ACTOR_BT", "1024"))
+    while bt > 128 and B % bt:
+        bt //= 2
+    return bt
+
+
+def head_operands(actor_params, cfg: TAPConfig, dtype):
+    """Transpose the actor-head params into the kernel's [out, in] GEMM
+    layout (W^T @ X with batch as the GEMM N dim), cast to the compute
+    dtype exactly where the flax Dense would. Order matches _kernel's
+    parameter refs. These are a few KB; the transposes are trace-time
+    noise next to the rollout."""
+    cdt = jnp.dtype(dtype).type
+    p = actor_params["params"]
+    col = lambda b: b.astype(cdt)[:, None]                 # bias -> [out, 1]
+    tr = lambda k: k.astype(cdt).T                         # kernel -> [out, in]
+    hm = p["hm_enc"]
+    return (
+        tr(p["dyn_hidden"]["kernel"]), col(p["dyn_hidden"]["bias"]),
+        tr(p["dyn_proj"]["kernel"]),
+        tr(hm["Dense_0"]["kernel"]), col(hm["Dense_0"]["bias"]),
+        tr(hm["Dense_1"]["kernel"]), col(hm["Dense_1"]["bias"]),
+        p["prev_embed"]["embedding"].astype(cdt).T,        # [h, A+1]
+        tr(p["query"]["kernel"]), col(p["query"]["bias"]),
+        p["v"].astype(jnp.float32),                        # [h, 1]
+    )
+
+
+def _kernel(cfg: TAPConfig, h: int, scale: float, temperature: float,
+            dtype):
+    N, W, D = cfg.num_blocks, cfg.target_width, cfg.target_depth
+    R, C = cfg.num_rot, cfg.num_containers
+    T, A = N * R, cfg.num_actions
+    cdt = jnp.dtype(dtype).type
+    f32 = jnp.float32
+    inv_s = 1.0 / scale
+
+    def kernel(tf_ref, packed_ref, hm_ref, plc_ref, prev_ref,
+               dims_w_ref, dims_d_ref, dims_h_ref,
+               upm_ref, rotm_ref, fits_ref, g_ref,
+               se_ref, ctx_ref, statp_ref, statm_ref,
+               w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+               et_ref, wqt_ref, bq_ref, v_ref,
+               packed_out, hm_out, plc_out, act_out,
+               flags_out, mask_out, logits_out):
+        BT = packed_ref.shape[1]
+
+        def mm(a, b):  # W^T [out, in] @ X [in, BT], f32 accumulation (MXU)
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=f32)
+
+        # ---- accessibility from bitmask precedence (env.core._accessibility
+        # semantics: blocked0[i] = any_j up[j, i] & unpacked[j]) — EXACT
+        packed = packed_ref[:]                               # [N, BT] i32
+        unpk = 1 - packed
+        pw2 = jnp.left_shift(
+            jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0))
+        unpk_bits = jnp.sum(unpk * pw2, axis=0, keepdims=True)  # [1, BT]
+        acc0 = (unpk == 1) & ((upm_ref[:] & unpk_bits) == 0)
+        accr = acc0 & ((rotm_ref[:] & unpk_bits) == 0)
+        acc0_i = acc0.astype(jnp.int32)
+        accr_i = accr.astype(jnp.int32)
+        # window bit == acc0 for window == 0 (features.dynamic_flags)
+        flags_out[:] = packed + 2 * acc0_i + 4 * accr_i + 8 * acc0_i
+
+        # ---- feasibility mask, rows in flat (block, rot, container) order
+        fits = fits_ref[:]                                   # [R*N, BT] i32
+        ok_r = [acc0_i if r == 0 else acc0_i * accr_i for r in range(R)]
+        mask_rows = []
+        for i in range(N):
+            for r in range(R):
+                row = ok_r[r][i:i + 1] * fits[r * N + i:r * N + i + 1]
+                mask_rows.extend([row] * C)
+        mask_a = jnp.concatenate(mask_rows, axis=0)          # [A, BT] i32
+        mask_out[:] = mask_a
+
+        # ---- exact-count context summary dsum [8, BT] (head's mean merged
+        # token: sums of 0/1 flags are exact in f32; statics precomputed)
+        tf = tf_ref[0, 0]                                    # f32 scalar
+        pk = jnp.sum(packed, axis=0, keepdims=True).astype(f32)
+        a0 = jnp.sum(acc0_i, axis=0, keepdims=True).astype(f32)
+        ar = jnp.sum(accr_i, axis=0, keepdims=True).astype(f32)
+        acc_mean = (a0 + ar) / f32(T) if R == 2 else a0 / f32(N)
+        ones = jnp.ones((1, BT), f32)
+        dsum = jnp.concatenate([
+            (pk / f32(N)).astype(cdt), acc_mean.astype(cdt),
+            (a0 / f32(N)).astype(cdt), (ones * tf).astype(cdt),
+            statm_ref[:]], axis=0)                           # [8, BT] cdt
+
+        # ---- heightmap encoder per container: flatten x-major + max/mean
+        hm_all = hm_ref[:]                                   # [C*W, D, BT]
+        hm_encs = []
+        for c in range(C):
+            hmc = hm_all[c * W:(c + 1) * W]                  # [W, D, BT]
+            flat = (hmc[:, 0, :] if D == 1 else
+                    jnp.concatenate([hmc[x] for x in range(W)], axis=0))
+            xc = (flat.astype(f32) * f32(inv_s)).astype(cdt)  # [W*D, BT]
+            mx = jnp.max(xc, axis=0, keepdims=True)
+            mn = (jnp.sum(xc.astype(f32), axis=0, keepdims=True)
+                  / f32(W * D)).astype(cdt)
+            feats = jnp.concatenate([xc, mx, mn], axis=0)    # [W*D+2, BT]
+            e1 = jnp.maximum(
+                mm(w1t_ref[:], feats).astype(cdt) + b1_ref[:], 0)
+            hm_encs.append(mm(w2t_ref[:], e1).astype(cdt) + b2_ref[:])
+
+        # ---- decode-history embedding via one-hot GEMM (index 0 = start)
+        idx = jnp.clip(prev_ref[:] + 1, 0, A)                # [1, BT]
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, (A + 1, BT), 0)
+        prev_emb = mm(et_ref[:], (iota_e == idx).astype(cdt)).astype(cdt)
+
+        # ---- query per container: Dense over [hm, ctx, prev, dsum]
+        ctx = ctx_ref[:]                                     # [h, BT] cdt
+        qs = []
+        for c in range(C):
+            qin = jnp.concatenate([hm_encs[c], ctx, prev_emb, dsum], axis=0)
+            qs.append(mm(wqt_ref[:], qin).astype(cdt) + bq_ref[:])
+
+        # ---- per-token dyn MLP + additive attention
+        # merged token t=(i,r): [packed_i, acc(r), win_i, tf, static4(t)]
+        statp = statp_ref[:]                                 # [4, T, BT] cdt
+        tf_row = (ones * tf).astype(cdt)
+        vvec = v_ref[:].astype(f32)                          # [h, 1]
+        pk_c = packed.astype(cdt)
+        ac_c = [acc0_i.astype(cdt), accr_i.astype(cdt)]
+        score_rows = []
+        for i in range(N):
+            for r in range(R):
+                t = i * R + r
+                x_t = jnp.concatenate([
+                    pk_c[i:i + 1], ac_c[r][i:i + 1], ac_c[0][i:i + 1],
+                    tf_row, statp[:, t]], axis=0)            # [8, BT]
+                h1 = jnp.maximum(
+                    mm(w8t_ref[:], x_t).astype(cdt) + b8_ref[:], 0)
+                dyn_t = mm(wpt_ref[:], h1).astype(cdt)       # [h, BT]
+                se_t = se_ref[t]                             # [h, BT]
+                for c in range(C):
+                    act = jnp.tanh(se_t + dyn_t + qs[c])
+                    # full-precision multiply+reduce over h — the same
+                    # contraction order as the XLA head's `act @ v`
+                    # (bit-matched it in the f32 hardware parity run); a
+                    # default-precision f32 MXU dot here is a bf16-pass
+                    # decomposition (measured 8.8e-3 logit divergence)
+                    s_tc = jnp.sum(act.astype(f32) * vvec, axis=0,
+                                   keepdims=True).astype(cdt).astype(f32)
+                    score_rows.append(s_tc)
+        scores = jnp.concatenate(score_rows, axis=0)         # [A, BT] f32
+        logits_out[:] = scores
+
+        masked = jnp.where(mask_a == 1, scores / f32(temperature), f32(NEG))
+        p_n, h_n, l_n, a_n = select_place(
+            cfg, masked + g_ref[:], mask_a, packed, hm_all, plc_ref[:],
+            dims_w_ref[:], dims_d_ref[:], dims_h_ref[:])
+        packed_out[:] = p_n
+        hm_out[:] = h_n
+        plc_out[:] = l_n
+        act_out[:] = a_n
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "temperature", "dtype",
+                                             "interpret"))
+def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
+                      upm, rotm, fits, g, se, ctx, statp, statm, params,
+                      cfg: TAPConfig, temperature: float = 1.0,
+                      dtype=jnp.float32, interpret: bool = False):
+    """One fused actor+select decode step over batch-last state.
+
+    tf f32[1,1] (t/N), packed i32[N,B], hm i32[C*W,D,B], plc i32[N*6,B],
+    prev i32[1,B], dims_* i32[N,B], upm/rotm i32[N,B] (precedence column
+    bitmasks), fits i32[R*N,B], g f32[A,B] (gumbel; zeros = greedy),
+    se cdt[T,h,B] (embed_static_T output, reshaped + leading-dims
+    transposed — lane-preserving, so cheap), ctx cdt[h,B],
+    statp cdt[4,T,B], statm cdt[4,B],
+    params = head_operands(...).
+
+    Returns (packed', hm', plc', action[B], flags i32[N,B], mask i32[A,B],
+    logits f32[A,B]). B must be a multiple of 128.
+    """
+    assert eligible(cfg)
+    from tapnet_tpu.models.features import _scale
+
+    N, W, D, C = (cfg.num_blocks, cfg.target_width, cfg.target_depth,
+                  cfg.num_containers)
+    R, A = cfg.num_rot, cfg.num_actions
+    T = N * R
+    h = se.shape[1]
+    B = packed.shape[1]
+    BT = batch_tile(B)
+    assert B % BT == 0, f"batch {B} must be a multiple of 128"
+
+    grid = (B // BT,)
+    bspec = lambda *shape: pl.BlockSpec(
+        (*shape, BT), lambda i: tuple([0] * len(shape)) + (i,),
+        memory_space=pltpu.VMEM)
+    full = lambda x: pl.BlockSpec(
+        x.shape, lambda i: tuple([0] * x.ndim), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _kernel(cfg, h, _scale(cfg), temperature, dtype),
+        grid=grid,
+        in_specs=[full(tf), bspec(N), bspec(C * W, D), bspec(N * 6),
+                  bspec(1), bspec(N), bspec(N), bspec(N),
+                  bspec(N), bspec(N), bspec(R * N), bspec(A),
+                  bspec(T, h), bspec(h), bspec(4, T), bspec(4)]
+                 + [full(p) for p in params],
+        out_specs=(bspec(N), bspec(C * W, D), bspec(N * 6), bspec(1),
+                   bspec(N), bspec(A), bspec(A)),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, B), jnp.int32),
+            jax.ShapeDtypeStruct((C * W, D, B), jnp.int32),
+            jax.ShapeDtypeStruct((N * 6, B), jnp.int32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            jax.ShapeDtypeStruct((N, B), jnp.int32),
+            jax.ShapeDtypeStruct((A, B), jnp.int32),
+            jax.ShapeDtypeStruct((A, B), jnp.float32),
+        ),
+        # the default 16 MB scoped-vmem budget rejects the double-buffered
+        # [T, h, BT] static-embedding blocks at production batch sizes; the
+        # chip has 128 MB of VMEM and this kernel is its only tenant
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20) if not interpret else None,
+        interpret=interpret,
+    )(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
+      upm, rotm, fits, g, se, ctx, statp, statm, *params)
+    packed_o, hm_o, plc_o, act, flags, mask, logits = outs
+    return packed_o, hm_o, plc_o, act[0], flags, mask, logits
+
+
+def precedence_bitmasks(instances, cfg: TAPConfig):
+    """Column bitmasks of the up/rot obstruction graphs, batch-last
+    i32[N, B]: upm[i, b] = sum_j up[b, j, i] << j (j obstructs i)."""
+    N = cfg.num_blocks
+    pw = (jnp.int32(1) << jnp.arange(N, dtype=jnp.int32))[None, :, None]
+    upm = (instances.up.astype(jnp.int32) * pw).sum(axis=1).T
+    rotm = (instances.rot.astype(jnp.int32) * pw).sum(axis=1).T
+    return upm, rotm
+
+
+def fits_planes(instances, cfg: TAPConfig):
+    """Per-rotation geometric target fit, batch-last i32[R*N, B]."""
+    rows = []
+    for r in range(cfg.num_rot):
+        d = instances.dims
+        if r == 1:
+            ax0, ax1 = cfg.rot_axes
+            perm = [ax1 if k == ax0 else ax0 if k == ax1 else k
+                    for k in range(3)]
+            d = d[..., jnp.array(perm)]
+        rows.append(((d[..., 0] <= cfg.target_width)
+                     & (d[..., 1] <= cfg.target_depth))
+                    .astype(jnp.int32).T)                    # [N, B]
+    return jnp.concatenate(rows, axis=0)

@@ -45,7 +45,16 @@ def eligible(cfg: TAPConfig) -> bool:
     return True
 
 
-def _kernel(cfg: TAPConfig):
+def select_place(cfg: TAPConfig, score, mask, packed, hm_all, plc,
+                 dims_w, dims_d, dims_h):
+    """The fused select+place body as a pure jnp function over batch-last
+    VMEM-resident values (all [..., TB]); shared by this per-step kernel and
+    the fused actor-step kernel (ops/pallas_actor_step.py), so the exact
+    argmax/tie-break/candidate-scan/update semantics exist ONCE.
+
+    score [A, TB] f32, mask [A, TB] i32, packed [N, TB], hm_all [C*W, D, TB],
+    plc [N*6, TB], dims_* [N, TB]. Returns (packed', hm', plc', act [1, TB]).
+    """
     N = cfg.num_blocks
     W = cfg.target_width
     D = cfg.target_depth
@@ -56,19 +65,9 @@ def _kernel(cfg: TAPConfig):
     mcs = cfg.placement_rule == "mcs"
     cap = cfg.height_cap
     two_d = cfg.dim == 2  # D == 1; rotation swaps (w, h), not (w, d)
+    TB = score.shape[1]
 
-    def kernel(score_ref, mask_ref, packed_ref, hm_ref, plc_ref,
-               dims_w_ref, dims_d_ref, dims_h_ref,
-               packed_out, hm_out, plc_out, act_out):
-        score = score_ref[:]            # [A, TB] f32 (masked logits + gumbel)
-        mask = mask_ref[:]              # [A, TB] i32 0/1
-        packed = packed_ref[:]          # [N, TB] i32
-        hm_all = hm_ref[:]              # [C*W, D, TB] i32
-        plc = plc_ref[:]                # [N*6, TB] i32
-        dims_w = dims_w_ref[:]          # [N, TB]
-        dims_d = dims_d_ref[:]
-        dims_h = dims_h_ref[:]
-
+    if True:  # keep the original kernel-body indentation for diff clarity
         iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, TB), 0)
         x_i = jax.lax.broadcasted_iota(jnp.int32, (W, D, TB), 0)
         y_i = jax.lax.broadcasted_iota(jnp.int32, (W, D, TB), 1)
@@ -264,9 +263,9 @@ def _kernel(cfg: TAPConfig):
         for c in range(C):
             sel_c = (ocs[c] == 1) & do
             new_hms.append(jnp.where(fp & sel_c[None, None, :], top, hms[c]))
-        hm_out[:] = jnp.concatenate(new_hms, axis=0)
+        hm_new = jnp.concatenate(new_hms, axis=0)
 
-        packed_out[:] = packed + ohb * do[None].astype(jnp.int32)
+        packed_new = packed + ohb * do[None].astype(jnp.int32)
 
         c_star = sum(c * ocs[c] for c in range(1, C)) if C > 1 \
             else jnp.zeros((TB,), jnp.int32)
@@ -278,9 +277,19 @@ def _kernel(cfg: TAPConfig):
         write = (iota_p // 6 == sel_blk[None]) & do[None]
         # row value per placement column j = iota_p % 6, broadcast over blocks
         row_full = jnp.concatenate([row] * N, axis=0)            # [N*6, TB]
-        plc_out[:] = jnp.where(write, row_full, plc)
+        plc_new = jnp.where(write, row_full, plc)
 
-        act_out[:] = jnp.where(valid, a_sel, -1)[None]           # [1, TB]
+        act = jnp.where(valid, a_sel, -1)[None]                  # [1, TB]
+        return packed_new, hm_new, plc_new, act
+
+
+def _kernel(cfg: TAPConfig):
+    def kernel(score_ref, mask_ref, packed_ref, hm_ref, plc_ref,
+               dims_w_ref, dims_d_ref, dims_h_ref,
+               packed_out, hm_out, plc_out, act_out):
+        packed_out[:], hm_out[:], plc_out[:], act_out[:] = select_place(
+            cfg, score_ref[:], mask_ref[:], packed_ref[:], hm_ref[:],
+            plc_ref[:], dims_w_ref[:], dims_d_ref[:], dims_h_ref[:])
 
     return kernel
 

@@ -47,7 +47,8 @@ def init_train_state(key, cfg: TAPConfig, hidden: int = 128,
 
 def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
                   temperature: float, use_pallas: bool, mesh=None,
-                  axis: str = "data", dtype=jnp.float32, step_kernel=None):
+                  axis: str = "data", dtype=jnp.float32, step_kernel=None,
+                  actor_kernel=None):
     critic = TAPNetCritic(cfg, hidden, dtype=jnp.dtype(dtype).type)
 
     # 1. Rollout WITHOUT gradients (stop_gradient on params => XLA saves no
@@ -55,7 +56,8 @@ def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
     states, record, _ = rollout_batch_record(
         jax.lax.stop_gradient(params["actor"]), instances, keys, cfg, hidden,
         greedy=False, temperature=temperature, dtype=dtype,
-        step_kernel=step_kernel, mesh=mesh, axis=axis, with_logp=False)
+        step_kernel=step_kernel, actor_kernel=actor_kernel, mesh=mesh,
+        axis=axis, with_logp=False)
     record = jax.lax.stop_gradient(record)
 
     # 2. Replay: differentiable log-probs of the recorded actions, all B*N
@@ -147,7 +149,8 @@ def make_train_step(cfg: TAPConfig, batch: int, hidden: int = 128,
         actor_loss, critic_loss, R, terms = _batch_losses(
             params, instances, keys, cfg, hidden, temperature, use_pallas,
             mesh=mesh, axis=axis, dtype=compute_dtype,
-            step_kernel=None if on_tpu else False)
+            step_kernel=None if on_tpu else False,
+            actor_kernel=None if on_tpu else False)
         loss = actor_loss + critic_weight * critic_loss
         return loss, (actor_loss, critic_loss, R, terms)
 

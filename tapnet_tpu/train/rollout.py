@@ -58,7 +58,8 @@ def rollout_batch_record(actor_params, instances: Instance, keys,
                          greedy: bool = False, temperature: float = 1.0,
                          dtype=jnp.float32, step_kernel=None,
                          interpret: bool = False, mesh=None,
-                         axis: str = "data", with_logp: bool = True):
+                         axis: str = "data", with_logp: bool = True,
+                         actor_kernel=None):
     """Roll a batch with the actor; returns (states, RolloutRecord, logp_sum).
 
     Sampling is Gumbel-argmax over masked logits (identical in law to
@@ -69,16 +70,39 @@ def rollout_batch_record(actor_params, instances: Instance, keys,
     replay_logp_sum and passes with_logp=False so the scan carry does no
     dead log-softmax work (carried values are not DCE-able).
 
+    actor_kernel: fuse the ENTIRE decode step — flags, mask, the actor
+    head's GEMMs/attention, masked gumbel argmax, select/place — into one
+    Pallas kernel per step (ops.pallas_actor_step; integer state bit-exact,
+    logits to accumulation-order tolerance — SPEC.md §12 two-tier
+    contract). None = auto: on TPU for eligible configs (unbounded height,
+    no rolling window) on SAMPLED rollouts only — greedy decode sits
+    exactly on argmax ties between duplicate blocks, where the kernel's
+    transposed embedding chain breaks bit-ties differently than the XLA
+    head (SPEC.md §12), so greedy eval keeps the reference path unless the
+    caller opts in explicitly. TAPNET_ACTOR_KERNEL=0 disables the auto
+    path.
+
     step_kernel: fuse everything between actor calls into one Pallas kernel
     per decode step (ops.pallas_policy_step; bit-exact vs the general path).
     None = auto: on TPU when the config is eligible and the (per-shard)
-    batch is a multiple of 128. Under `mesh` the kernel runs per-shard via
+    batch is a multiple of 128. Under `mesh` both kernels run per-shard via
     shard_map (the batch axis is embarrassingly parallel).
     """
+    import os
+
+    from tapnet_tpu.ops import pallas_actor_step as AS
     from tapnet_tpu.ops import pallas_policy_step as PS
 
     B = instances.dims.shape[0]
     shard_B = B // mesh.shape[axis] if mesh is not None else B
+    if actor_kernel is None:
+        actor_kernel = (not greedy and AS.eligible(cfg) and shard_B % 128 == 0
+                        and jax.default_backend() == "tpu"
+                        and os.environ.get("TAPNET_ACTOR_KERNEL", "1") != "0")
+    if actor_kernel:
+        return _rollout_record_actorfused(actor_params, instances, keys, cfg,
+                                          hidden, greedy, temperature, dtype,
+                                          interpret, mesh, axis, with_logp)
     if step_kernel is None:
         step_kernel = (PS.eligible(cfg) and shard_B % PS.TB == 0
                        and jax.default_backend() == "tpu")
@@ -374,6 +398,118 @@ def _rollout_record_stepfused(actor_params, instances: Instance, keys,
     return states, record, logp_sum
 
 
+def _rollout_record_actorfused(actor_params, instances: Instance, keys,
+                               cfg: TAPConfig, hidden, greedy, temperature,
+                               dtype, interpret, mesh=None, axis="data",
+                               with_logp=True):
+    """Whole-decode-step kernel twin of _rollout_record_general: ONE
+    ops.pallas_actor_step launch per decode step replaces flags + mask +
+    head + sampling + select/place (~30 XLA ops). Only the static
+    embedding, the gumbel sweep and the scan skeleton stay in XLA.
+
+    Integer record state (flags, mask, actions given equal logit argmax,
+    env updates) is bit-exact vs the general path; logits agree to GEMM
+    accumulation-order tolerance (SPEC.md §12)."""
+    from tapnet_tpu.ops import pallas_actor_step as AS
+
+    cdt = jnp.dtype(dtype).type
+    actor = TAPNetActor(cfg, hidden, dtype=cdt)
+    B = instances.dims.shape[0]
+    N, W, D, C = (cfg.num_blocks, cfg.target_width, cfg.target_depth,
+                  cfg.num_containers)
+    R, A = cfg.num_rot, cfg.num_actions
+    S = N  # decode steps
+
+    # per-rollout constants. The static embedding is computed TRANSPOSED
+    # (embed_static_T: same chain, W^T @ X) so the kernel's [h, T, B]
+    # operand is born in its batch-on-lanes layout — transposing the
+    # ordinary embed_static output forced XLA into a layout copy worth
+    # ~0.9 ms/step at batch 4096 (traced; see ops/pallas_actor_step.py).
+    from tapnet_tpu.models.tapnet import embed_static_T
+
+    static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)  # [B, T, 4]
+    T = cfg.num_blocks * cfg.num_rot
+    static_t4 = static.transpose(1, 0, 2).reshape(T * B, 4).T      # [4, T*B]
+    se_htb = embed_static_T(actor_params, static_t4,
+                            dtype).reshape(-1, T, B)               # [h, T, B]
+    # leading-dims transpose only (B stays the lane dim — cheap copy); the
+    # kernel slices se[t] per token, which must be the LEADING axis
+    se = jnp.transpose(se_htb, (1, 0, 2))                          # [T, h, B]
+    ctx = se_htb.mean(axis=1)                                      # [h, B]
+    static_c = static.astype(cdt)
+    statp = static_c.transpose(2, 1, 0)                            # [4, T, B]
+    statm = static_c.mean(axis=1).T                                # [4, B]
+    upm, rotm = AS.precedence_bitmasks(instances, cfg)             # [N, B]
+    fits = AS.fits_planes(instances, cfg)                          # [R*N, B]
+    params = AS.head_operands(actor_params, cfg, dtype)
+
+    dims_w = instances.dims[:, :, 0].T.astype(jnp.int32)           # [N, B]
+    dims_d = instances.dims[:, :, 1].T.astype(jnp.int32)
+    dims_h = instances.dims[:, :, 2].T.astype(jnp.int32)
+    states0 = jax.vmap(lambda i: E.reset(i, cfg))(instances)
+    packed0 = states0.packed.T.astype(jnp.int32)
+    hm0 = jnp.zeros((C * W, D, B), jnp.int32)
+    plc0 = jnp.full((N * 6, B), -1, jnp.int32)
+
+    tfs = (jnp.arange(S, dtype=jnp.float32) / S).reshape(S, 1, 1)
+    g_all = (jnp.zeros((S, A, B)) if greedy
+             else jnp.swapaxes(_gumbel_all(keys, cfg), 1, 2))      # [S, A, B]
+
+    step_fn = functools.partial(AS.actor_select_step, cfg=cfg,
+                                temperature=temperature, dtype=dtype,
+                                interpret=interpret)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        bl = lambda nd: P(*([None] * (nd - 1)), axis)   # batch-last operand
+        rep = lambda x: P(*([None] * x.ndim))
+        step_fn = jax.shard_map(
+            step_fn, mesh=mesh,
+            in_specs=(rep(tfs[0]), bl(2), bl(3), bl(2), bl(2),
+                      bl(2), bl(2), bl(2), bl(2), bl(2), bl(2), bl(2),
+                      bl(3), bl(2), bl(3), bl(2),
+                      tuple(rep(p) for p in params)),
+            out_specs=(bl(2), bl(3), bl(2), bl(1), bl(2), bl(2), bl(2)),
+            check_vma=False)
+
+    iota_a = jnp.arange(A, dtype=jnp.int32)[:, None]
+
+    def body(carry, x):
+        tf_x, g = x
+        packed_bl, hm_bl, plc_bl, prev, logp_sum = carry
+        rec_hm = hm_bl                                   # pre-step state
+        packed_n, hm_n, plc_n, a, flags, mask, logits = step_fn(
+            tf_x, packed_bl, hm_bl, plc_bl, prev, dims_w, dims_d, dims_h,
+            upm, rotm, fits, g, se, ctx, statp, statm, params)
+        if with_logp:
+            masked = jnp.where(mask == 1, logits / temperature, NEG)
+            lsm = jax.nn.log_softmax(masked, axis=0)     # [A, B]
+            lp = jnp.sum(jnp.where(iota_a == jnp.maximum(a, 0)[None],
+                                   lsm, 0.0), axis=0)
+            logp_sum = logp_sum + jnp.where(a >= 0, lp, 0.0)
+        return ((packed_n, hm_n, plc_n, a[None], logp_sum),
+                (flags, rec_hm, mask, a))
+
+    import os
+    unroll = int(os.environ.get("TAPNET_ROLLOUT_UNROLL", "1"))
+    carry0 = (packed0, hm0, plc0, jnp.full((1, B), -1, jnp.int32),
+              jnp.zeros(B))
+    (packed_f, hm_f, plc_f, _, logp_sum), ys = jax.lax.scan(
+        body, carry0, (tfs, g_all), unroll=min(unroll, S))
+    flags_y, hms_y, masks_y, acts = ys
+
+    record = RolloutRecord(
+        flags=jnp.swapaxes(flags_y, 1, 2).astype(jnp.uint8),   # [S, B, N]
+        heightmap=hms_y.reshape(S, C, W, D, B).transpose(0, 4, 1, 2, 3),
+        mask=jnp.swapaxes(masks_y, 1, 2).astype(bool),         # [S, B, A]
+        action=acts)                                           # [S, B]
+    states = EnvState(
+        heightmap=hm_f.reshape(C, W, D, B).transpose(3, 0, 1, 2),
+        packed=packed_f.T.astype(bool),
+        placements=plc_f.reshape(N, 6, B).transpose(2, 0, 1),
+        t=jnp.sum((acts >= 0).astype(jnp.int32), axis=0))
+    return states, record, logp_sum
+
+
 def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
                     cfg: TAPConfig, hidden: int = 128,
                     temperature: float = 1.0, dtype=jnp.float32,
@@ -451,9 +587,14 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
         logits = jax.vmap(jax.vmap(head_one))(se_nb, dynamic, hmg,
                                               prev_c)         # [K, B, A]
         masked = _masked_logits(logits, mask_c, temperature)
-        lp = jnp.take_along_axis(jax.nn.log_softmax(masked, axis=-1),
-                                 jnp.maximum(act_c, 0)[..., None],
-                                 axis=-1)[..., 0]
+        # one-hot masked sum, NOT take_along_axis: the per-row dynamic
+        # gather of [K*B] short rows lowered to a serialized fusion worth
+        # ~0.5 ms/step on the 2d-basic trace (the same cliff the windowed
+        # replay hit in round 4); the compare+select+reduce is pure VPU
+        lsm = jax.nn.log_softmax(masked, axis=-1)
+        onehot = (jnp.maximum(act_c, 0)[..., None]
+                  == jnp.arange(masked.shape[-1], dtype=jnp.int32))
+        lp = jnp.sum(jnp.where(onehot, lsm, 0.0), axis=-1)
         return jnp.where(act_c >= 0, lp, 0.0)
 
     if chunk >= N:
