@@ -512,10 +512,48 @@ def _rollout_record_actorfused(actor_params, instances: Instance, keys,
     return states, record, logp_sum
 
 
+def _replay_logp_kernel(actor_params, instances: Instance,
+                        record: RolloutRecord, cfg: TAPConfig, hidden,
+                        temperature, dtype, interpret=False):
+    """Pallas custom-VJP replay (ops.pallas_replay): forward logp + hand-
+    derived backward in two kernel launches; the only XLA-differentiated
+    remnants are the embed_static_T chain and head_operands casts, whose
+    backwards are a handful of well-shaped GEMMs."""
+    from tapnet_tpu.models.tapnet import embed_static_T
+    from tapnet_tpu.ops import pallas_actor_step as AS
+    from tapnet_tpu.ops.pallas_replay import replay_logp_fused
+
+    cdt = jnp.dtype(dtype).type
+    B = record.action.shape[1]
+    N, W, D, C = (cfg.num_blocks, cfg.target_width, cfg.target_depth,
+                  cfg.num_containers)
+    T = N * cfg.num_rot
+
+    static = jax.vmap(lambda i: static_tokens(i, cfg))(instances)  # [B, T, 4]
+    static_t4 = static.transpose(1, 0, 2).reshape(T * B, 4).T      # [4, T*B]
+    se_htb = embed_static_T(actor_params, static_t4,
+                            dtype).reshape(-1, T, B)               # [h, T, B]
+    se = jnp.transpose(se_htb, (1, 0, 2))                          # [T, h, B]
+    ctx = se_htb.mean(axis=1)                                      # [h, B]
+    statp = static_t4.astype(cdt).reshape(4, T, B)
+    statm = static.astype(cdt).mean(axis=1).T
+    fits = AS.fits_planes(instances, cfg)
+    params = AS.head_operands(actor_params, cfg, dtype)
+
+    flags = jnp.swapaxes(record.flags.astype(jnp.int32), 1, 2)     # [S, N, B]
+    hms = record.heightmap.transpose(0, 2, 3, 4, 1).reshape(
+        N, C * W, D, B)                                            # batch-last
+    statics = (cfg, float(temperature), jnp.dtype(dtype).name,
+               bool(interpret))
+    return replay_logp_fused(statics, (params, se, ctx),
+                             (flags, hms, record.action, statp, statm, fits))
+
+
 def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
                     cfg: TAPConfig, hidden: int = 128,
                     temperature: float = 1.0, dtype=jnp.float32,
-                    chunk: int = 0, windowed: bool = None):
+                    chunk: int = 0, windowed: bool = None,
+                    kernel=None, interpret: bool = False):
     """Differentiable sum_t log pi(a_t | s_t) recomputed in parallel.
 
     All N decode steps of all B instances batch into MXU-shaped forwards:
@@ -543,6 +581,16 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
             "from flags; finite-height masks need the recorded candidates"
         return _replay_logp_windowed(actor_params, instances, record, cfg,
                                      hidden, temperature, dtype, chunk)
+    if kernel is None:
+        import os
+
+        from tapnet_tpu.ops import pallas_actor_step as AS
+        kernel = (AS.eligible(cfg) and record.action.shape[1] % 128 == 0
+                  and jax.default_backend() == "tpu"
+                  and os.environ.get("TAPNET_REPLAY_KERNEL", "1") != "0")
+    if kernel:
+        return _replay_logp_kernel(actor_params, instances, record, cfg,
+                                   hidden, temperature, dtype, interpret)
     actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
     N = cfg.num_blocks
     B = record.action.shape[1]

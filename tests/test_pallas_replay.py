@@ -1,0 +1,96 @@
+"""Custom-VJP Pallas replay head (ops/pallas_replay) vs the XLA replay.
+
+The replay is the DIFFERENTIATED pass, so parity here is about both the
+value and the hand-derived backward: sum_t log pi and every parameter
+gradient (including the chain through embed_static_T into the token
+encoder) must match jax.grad of the XLA path to f32 accumulation-order
+tolerance (SPEC.md §12 tier 2). Interpret mode on CPU; hardware runs live
+in scripts/tpu_parity.py -> PARITY_TPU.json.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tapnet_tpu.config import CONFIGS
+from tapnet_tpu.env.sampler import sample_batch
+from tapnet_tpu.models.tapnet import init_params
+from tapnet_tpu.train import rollout as RO
+
+ELIGIBLE = ["2d-basic", "2d-rot", "3d-basic", "multi-container"]
+
+
+def _setup(name, B=128, hidden=48, seed=3):
+    cfg = CONFIGS[name]
+    key = jax.random.key(seed)
+    params = init_params(key, cfg, hidden)["actor"]
+    instances = sample_batch(key, B, cfg)
+    keys = jax.random.split(jax.random.key(seed + 4), B)
+    _, record, _ = RO.rollout_batch_record(
+        params, instances, keys, cfg, hidden=hidden, step_kernel=False,
+        actor_kernel=False, with_logp=False)
+    return cfg, params, instances, jax.lax.stop_gradient(record), hidden
+
+
+@pytest.mark.parametrize("name", ELIGIBLE)
+def test_value_and_grad_parity(name):
+    cfg, params, instances, record, hidden = _setup(name)
+
+    def lp(p, kernel):
+        return RO.replay_logp_sum(p, instances, record, cfg, hidden=hidden,
+                                  kernel=kernel, interpret=kernel).sum()
+
+    vx, gx = jax.value_and_grad(lambda p: lp(p, False))(params)
+    vk, gk = jax.value_and_grad(lambda p: lp(p, True))(params)
+    np.testing.assert_allclose(float(vk), float(vx), rtol=1e-5, atol=1e-3)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gx),
+            jax.tree_util.tree_leaves_with_path(gk)):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_per_instance_values_match():
+    cfg, params, instances, record, hidden = _setup("2d-basic")
+    lx = RO.replay_logp_sum(params, instances, record, cfg, hidden=hidden,
+                            kernel=False)
+    lk = RO.replay_logp_sum(params, instances, record, cfg, hidden=hidden,
+                            kernel=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(lx),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_temperature_and_padding_actions():
+    """temperature != 1 flows through the kernel's masked-logit scaling and
+    its backward; instances with no-op steps (action = -1, from n_total <
+    num_blocks padding) contribute zero logp and zero gradient."""
+    from tapnet_tpu.config import TAPConfig
+
+    cfg = TAPConfig(num_blocks=8, min_blocks=4, container_width=8,
+                    container_height=8, target_width=8, allow_rot=True)
+    key = jax.random.key(5)
+    hidden = 48
+    params = init_params(key, cfg, hidden)["actor"]
+    instances = sample_batch(key, 128, cfg)
+    keys = jax.random.split(jax.random.key(9), 128)
+    _, record, _ = RO.rollout_batch_record(
+        params, instances, keys, cfg, hidden=hidden, step_kernel=False,
+        actor_kernel=False, with_logp=False)
+    record = jax.lax.stop_gradient(record)
+    assert (np.asarray(record.action) == -1).any()  # padding steps exist
+
+    def lp(p, kernel):
+        return RO.replay_logp_sum(p, instances, record, cfg, hidden=hidden,
+                                  temperature=0.7, kernel=kernel,
+                                  interpret=kernel).sum()
+
+    vx, gx = jax.value_and_grad(lambda p: lp(p, False))(params)
+    vk, gk = jax.value_and_grad(lambda p: lp(p, True))(params)
+    np.testing.assert_allclose(float(vk), float(vx), rtol=1e-5, atol=1e-3)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gk)):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=5e-5)
