@@ -53,7 +53,9 @@ def main():
     from tapnet_tpu.config import CONFIGS, TAPConfig
     from tapnet_tpu.benchmarks import (measure_env_stats,
                                        measure_native_steps_per_s,
+                                       measure_native_thread_scaling,
                                        measure_oracle_steps_per_s,
+                                       measure_pack_stats,
                                        measure_policy_rollout_stats,
                                        measure_train_stats)
 
@@ -172,6 +174,21 @@ def main():
                 c, batch=4096, iters=10, runs=3)
             flush()
             print(f"{name}: {row}", file=sys.stderr)
+
+        # serving surface (VERDICT r4 item 6): infer.pack() end-to-end —
+        # learned greedy / best-of-16 sampled / fused heuristic — plus the
+        # C++ tier's thread-scaling table for JAX-free serving hosts
+        if not args.configs or "2d-basic" in subset:
+            serving = detail["serving"] = {}
+            if on_tpu:
+                for policy in ("greedy", "best", "first"):
+                    serving[f"2d-basic/{policy}"] = measure_pack_stats(
+                        CONFIGS["2d-basic"], batch=4096, iters=10, runs=3,
+                        policy=policy)
+                    flush()
+            detail["native_thread_scaling"] = measure_native_thread_scaling(
+                CONFIGS["2d-basic"])
+            flush()
         print(f"wrote {out}", file=sys.stderr)
     return 0
 

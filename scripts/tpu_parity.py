@@ -156,6 +156,108 @@ def main():
         all_ok &= all(row.values())
         print(f"reward_kernel {name}: {row}", flush=True)
 
+    # ---- 4. fused actor-head decode-step kernel (SPEC.md §12 two-tier):
+    #         f32 sampled trajectories must be action/state EXACT; bf16 is
+    #         validated distributionally (agreement rate + reward parity) --
+    from tapnet_tpu.ops import pallas_actor_step as AS
+    report["actor_kernel"] = {}
+    report["actor_kernel_bf16"] = {}
+    for name, cfg in CONFIGS.items():
+        if not AS.eligible(cfg) or B % 128:
+            continue
+        key = jax.random.key(57)
+        params = init_params(key, cfg, hidden=64)["actor"]
+        batch = sample_batch(key, B, cfg)
+        keys = jax.random.split(key, B)
+        s_g, r_g, lp_g = jax.jit(
+            lambda p, i, k, cfg=cfg: rollout_batch_record(
+                p, i, k, cfg, 64, step_kernel=False, actor_kernel=False))(
+            params, batch, keys)
+        s_f, r_f, lp_f = jax.jit(
+            lambda p, i, k, cfg=cfg: rollout_batch_record(
+                p, i, k, cfg, 64, actor_kernel=True))(params, batch, keys)
+        row = {
+            "actions": eq(r_g.action, r_f.action),
+            "flags": eq(r_g.flags, r_f.flags),
+            "mask": eq(r_g.mask, r_f.mask),
+            "state_heightmap": eq(s_g.heightmap, s_f.heightmap),
+            "state_placements": eq(s_g.placements, s_f.placements),
+            "logp_close": bool(np.allclose(np.asarray(lp_g),
+                                           np.asarray(lp_f),
+                                           rtol=1e-4, atol=1e-4)),
+        }
+        report["actor_kernel"][name] = row
+        all_ok &= all(row.values())
+        print(f"actor_kernel {name}: {row}", flush=True)
+
+        # bf16 tier-2: agreement rate + end-state reward parity (the train
+        # path's compute dtype; ties/rounding may flip a small fraction)
+        import jax.numpy as jnp
+        s_gb, r_gb, _ = jax.jit(
+            lambda p, i, k, cfg=cfg: rollout_batch_record(
+                p, i, k, cfg, 64, dtype=jnp.bfloat16, step_kernel=False,
+                actor_kernel=False))(params, batch, keys)
+        s_fb, r_fb, _ = jax.jit(
+            lambda p, i, k, cfg=cfg: rollout_batch_record(
+                p, i, k, cfg, 64, dtype=jnp.bfloat16, actor_kernel=True))(
+            params, batch, keys)
+        agree = float((np.asarray(r_gb.action)
+                       == np.asarray(r_fb.action)).mean())
+        R_gb = jax.jit(jax.vmap(lambda s_, i, cfg=cfg: E.reward(
+            s_, i, cfg)))(s_gb, batch)
+        R_fb = jax.jit(jax.vmap(lambda s_, i, cfg=cfg: E.reward(
+            s_, i, cfg)))(s_fb, batch)
+        drew = abs(float(np.mean(np.asarray(R_gb)))
+                   - float(np.mean(np.asarray(R_fb))))
+        row_b = {"action_agreement": round(agree, 4),
+                 "mean_reward_absdiff": round(drew, 4),
+                 "ok": bool(agree > 0.9 and drew < 0.02)}
+        report["actor_kernel_bf16"][name] = row_b
+        all_ok &= row_b["ok"]
+        print(f"actor_kernel_bf16 {name}: {row_b}", flush=True)
+
+    # ---- 5. custom-VJP replay kernel: value + every param grad vs
+    #         jax.grad of the XLA replay, on hardware -----------------------
+    from tapnet_tpu.train.rollout import replay_logp_sum
+    report["replay_kernel"] = {}
+    for name, cfg in CONFIGS.items():
+        if not AS.eligible(cfg) or B % 128:
+            continue
+        key = jax.random.key(71)
+        params = init_params(key, cfg, hidden=64)["actor"]
+        batch = sample_batch(key, B, cfg)
+        keys = jax.random.split(key, B)
+        _, rec, _ = jax.jit(
+            lambda p, i, k, cfg=cfg: rollout_batch_record(
+                p, i, k, cfg, 64, actor_kernel=True, with_logp=False))(
+            params, batch, keys)
+        rec = jax.lax.stop_gradient(rec)
+
+        def lp(p, kernel, cfg=cfg, rec=rec, batch=batch):
+            return replay_logp_sum(p, batch, rec, cfg, hidden=64,
+                                   kernel=kernel).sum()
+
+        vx, gx = jax.value_and_grad(lambda p: lp(p, False))(params)
+        vk, gk = jax.value_and_grad(lambda p: lp(p, True))(params)
+        worst = 0.0
+        for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gk)):
+            scale = float(np.max(np.abs(np.asarray(a)))) + 1e-9
+            worst = max(worst, float(np.max(np.abs(
+                np.asarray(b) - np.asarray(a)))) / scale)
+        # threshold: on hardware BOTH sides are ~f32 via different MXU pass
+        # decompositions (XLA bf16x3 vs the kernel's preferred_element_type
+        # accumulation), so worst-leaf diffs sit at ~1e-3 relative — an
+        # accumulation-order floor, not an error (CPU interpret agreement
+        # vs jax.grad is ~3e-6, tests/test_pallas_replay.py)
+        row = {"value_close": bool(np.isclose(float(vk), float(vx),
+                                              rtol=1e-5, atol=1e-2)),
+               "worst_grad_rel": round(worst, 8),
+               "ok": bool(worst < 5e-3)}
+        row["ok"] = bool(row["ok"] and row["value_close"])
+        report["replay_kernel"][name] = row
+        all_ok &= row["ok"]
+        print(f"replay_kernel {name}: {row}", flush=True)
+
     report["all_ok"] = bool(all_ok)
     report["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(args.out, "w") as f:

@@ -16,21 +16,28 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Round-5 plans run at BENCH conditions (batch 4096, 8 steps/dispatch —
+# VERDICT r4 item 4: the production campaign must exercise the machinery
+# the bench measures); earlier checkpoints resume seamlessly, so totals
+# below EXTEND the committed runs on round-5 code rather than discarding
+# them. eval_best_of=16 additionally reports the best-of-K sampled decode
+# (VERDICT r4 item 5) every epoch and in the final eval artifact.
 PLANS = {
-    "2d-basic": dict(epochs=40, steps_per_epoch=250, batch=1024),
-    "2d-rot": dict(epochs=40, steps_per_epoch=250, batch=1024),
-    "3d-basic": dict(epochs=40, steps_per_epoch=250, batch=1024),
-    # full-length campaign at batch 4096: the chunked (rematerialized)
-    # replay keeps the 50-block decode within HBM (VERDICT r2 item 4)
-    "2d-rolling": dict(epochs=40, steps_per_epoch=500, batch=4096),
+    "2d-basic": dict(epochs=40, steps_per_epoch=500, batch=4096),
+    "2d-rot": dict(epochs=40, steps_per_epoch=500, batch=4096),
+    "3d-basic": dict(epochs=40, steps_per_epoch=500, batch=4096),
+    # the chunked (rematerialized) replay keeps the 50-block decode within
+    # HBM at batch 4096 (VERDICT r2 item 4)
+    "2d-rolling": dict(epochs=50, steps_per_epoch=500, batch=4096),
     # driver config 5 trains on the mixed 2D/3D instance stream
     # (BASELINE.json: "Multi-target-container TAP ... and mixed 2D/3D batch")
-    "multi-container": dict(epochs=40, steps_per_epoch=250, batch=1024,
+    "multi-container": dict(epochs=40, steps_per_epoch=500, batch=4096,
                             mixed_p2d=0.5),
-    # config 6 (VERDICT r3 item 4): capped containers — spillover mandatory,
-    # the container-selection axis carries reward
-    "multi-container-capped": dict(epochs=40, steps_per_epoch=250,
-                                   batch=1024),
+    # config 6: capped containers — spillover mandatory, the container-
+    # selection axis carries reward; doubled horizon (VERDICT r4 item 5:
+    # the thinnest learned margin got the most extra steps)
+    "multi-container-capped": dict(epochs=80, steps_per_epoch=500,
+                                   batch=4096),
 }
 
 
@@ -54,7 +61,8 @@ def main():
             ckpt_dir=os.path.join(REPO, "ckpts", name),
             metrics_path=os.path.join(REPO, "runs", f"{name}.jsonl"),
             mixed_p2d=plan.get("mixed_p2d", 0.0),
-            steps_per_call=plan.get("steps_per_call", 8))
+            steps_per_call=plan.get("steps_per_call", 8),
+            eval_best_of=16)
         print(f"=== {name}: {plan}", flush=True)
         ts = train(cfg, loop, resume=True)
         out = evaluate(ts.params, cfg, loop, baselines=True)

@@ -76,18 +76,30 @@ class PackingPlan:
 def pack(instances: Instance, cfg: TAPConfig,
          actor_params: Optional[Any] = None, hidden: int = 128,
          policy: str = "greedy", key=None, temperature: float = 1.0,
-         prefer_fused: Optional[bool] = None) -> PackingPlan:
+         prefer_fused: Optional[bool] = None,
+         n_samples: int = 16) -> PackingPlan:
     """Pack a batch of instances; returns a PackingPlan.
 
     policy: "greedy" / "sample" use the learned actor (actor_params
-    required); "first" / "random" are the fixed heuristics. Heuristic
-    rollouts use the fused Pallas kernel on TPU for eligible configs.
+    required); "best" draws `n_samples` sampled decodes per instance in one
+    batched program and keeps each instance's best-reward plan (a TPU-native
+    serving upgrade over the reference's greedy-only test path); "first" /
+    "random" are the fixed heuristics. Heuristic rollouts use the fused
+    Pallas kernel on TPU for eligible configs.
     """
     B = instances.dims.shape[0]
     if key is None:
         key = jax.random.key(0)
     keys = jax.random.split(key, B)
 
+    if policy == "best":
+        if actor_params is None:
+            raise ValueError("policy='best' needs actor_params")
+        from tapnet_tpu.train.rollout import policy_rollout_best_of
+        states, actions, rewards = policy_rollout_best_of(
+            actor_params, instances, key, cfg, hidden,
+            n_samples=n_samples, temperature=temperature)
+        return PackingPlan(states, actions, rewards, cfg)
     if policy in ("greedy", "sample"):
         if actor_params is None:
             raise ValueError(f"policy={policy!r} needs actor_params")

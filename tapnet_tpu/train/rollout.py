@@ -878,3 +878,34 @@ def policy_rollout_batch(actor_params, instances: Instance, keys,
         actor_params, instances, keys, cfg, hidden, greedy, temperature)
     rewards = jax.vmap(lambda s, i: E.reward(s, i, cfg))(states, instances)
     return states, record.action.T, rewards, logp
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "hidden", "n_samples",
+                                    "temperature"))
+def policy_rollout_best_of(actor_params, instances: Instance, key,
+                           cfg: TAPConfig, hidden: int = 128,
+                           n_samples: int = 16, temperature: float = 1.0):
+    """Best-of-K sampled decode: K independent sampled rollouts per instance
+    in ONE batched program, keeping the best-reward trajectory of each.
+
+    A TPU-natively cheap capability the reference's greedy-only eval never
+    had (VERDICT r4 item 5): the rollout is embarrassingly parallel over
+    instances, so K samples are just a K-times-wider batch riding the same
+    fused kernels — at batch 256 x K=16 that is one 4096-row rollout, the
+    bench's standard shape. Returns (states, actions [B, N], rewards [B])
+    of the per-instance argmax-reward sample.
+    """
+    B = instances.dims.shape[0]
+    K = n_samples
+    rep = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), instances)
+    keys = jax.random.split(key, B * K)
+    states, record, _ = rollout_batch_record(
+        actor_params, rep, keys, cfg, hidden, greedy=False,
+        temperature=temperature, with_logp=False)
+    rewards = jax.vmap(lambda s, i: E.reward(s, i, cfg))(states, rep)
+    best = jnp.argmax(rewards.reshape(B, K), axis=1)          # [B]
+    rows = jnp.arange(B, dtype=jnp.int32) * K + best
+    states_b = jax.tree.map(lambda x: x[rows], states)
+    actions_b = record.action.T[rows]
+    return states_b, actions_b, rewards.reshape(B, K)[jnp.arange(B), best]

@@ -43,6 +43,9 @@ class TrainLoopConfig:
     tb_dir: Optional[str] = None      # TensorBoard scalar summaries dir
     deterministic: bool = False       # assert bit-identical repeat of step 1
     nan_checks: bool = False          # jax debug-nans over the whole run
+    eval_best_of: int = 1             # >1: also report best-of-K sampled
+                                      # decode at eval (rollout.policy_
+                                      # rollout_best_of; ~free on TPU)
 
 
 def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
@@ -71,6 +74,12 @@ def evaluate(params, cfg: TAPConfig, loop: TrainLoopConfig,
     f = lambda n, d: (n / jnp.maximum(d, 1)).astype(jnp.float32).mean()
     out = {"valid_reward": rewards.mean(), "valid_C": f(vol, dc),
            "valid_P": f(vol, dp), "valid_S": f(sn, sd)}
+    if loop.eval_best_of > 1:
+        from tapnet_tpu.train.rollout import policy_rollout_best_of
+        _, _, r_bo = policy_rollout_best_of(
+            params["actor"], instances, key, cfg, loop.hidden,
+            n_samples=loop.eval_best_of)
+        out[f"valid_reward_bo{loop.eval_best_of}"] = r_bo.mean()
     if cfg.num_containers > 1:
         # per-container occupancy of the learned packing (VERDICT r2: show
         # the container-choice axis matters, not just that it parses)
