@@ -169,13 +169,25 @@ def main():
         params = init_params(key, cfg, hidden=64)["actor"]
         batch = sample_batch(key, B, cfg)
         keys = jax.random.split(key, B)
-        s_g, r_g, lp_g = jax.jit(
-            lambda p, i, k, cfg=cfg: rollout_batch_record(
-                p, i, k, cfg, 64, step_kernel=False, actor_kernel=False))(
-            params, batch, keys)
-        s_f, r_f, lp_f = jax.jit(
-            lambda p, i, k, cfg=cfg: rollout_batch_record(
-                p, i, k, cfg, 64, actor_kernel=True))(params, batch, keys)
+        # windowed configs: run the f32 tier-1 comparison with exact-f32
+        # matmuls. Default "f32" dots are bf16-pass decompositions on the
+        # MXU; rolling's 50 duplicate-heavy blocks make sampled near-ties
+        # common enough that pass-decomposition drift (~1e-3) flips one in
+        # a few thousand draws on BOTH correct paths (tests/test_actor_step
+        # runs the same contract under highest precision on CPU)
+        import contextlib
+        prec = (jax.default_matmul_precision("highest") if cfg.window > 0
+                else contextlib.nullcontext())
+        with prec:
+            s_g, r_g, lp_g = jax.jit(
+                lambda p, i, k, cfg=cfg: rollout_batch_record(
+                    p, i, k, cfg, 64, step_kernel=False,
+                    actor_kernel=False))(params, batch, keys)
+            s_f, r_f, lp_f = jax.jit(
+                lambda p, i, k, cfg=cfg: rollout_batch_record(
+                    p, i, k, cfg, 64, actor_kernel=True))(
+                params, batch, keys)
+            jax.block_until_ready((s_g, s_f))
         row = {
             "actions": eq(r_g.action, r_f.action),
             "flags": eq(r_g.flags, r_f.flags),

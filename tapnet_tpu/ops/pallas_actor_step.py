@@ -40,10 +40,19 @@ Exactness contract (SPEC.md §12, two tiers):
   bf16 rollouts are validated distributionally (SPEC.md §12 /
   scripts/tpu_parity.py).
 
-Coverage: unbounded-height, non-windowed configs with N <= 31 (2d-basic,
-2d-rot, 3d-basic, multi-container — the bitmask precedence packs into one
-int32 lane). Rolling (windowed head) and finite-height configs keep the
-select_step path (`rollout.py` auto-selects per config).
+Coverage: unbounded-height configs with N <= 62 — including ROLLING
+(windowed) ones. The precedence graph packs into ceil(N/31) int32 bitmask
+limbs per column; the rolling observation window is computed IN-KERNEL as
+rank-by-prefix-sum over the accessible frontier, with the prefix sum as a
+strictly-lower-triangular [N, N] matmul on the MXU (0/1 operands and
+counts < 2^8 are exact in any float pass). The head then scores ALL T
+tokens with non-window logits masked to -1e9 — mathematically identical to
+the general path's windowed gather+scatter head (exp(-1e9 - max) == 0
+exactly, and token scores have no window-slot-rank dependence; see
+models/tapnet.py head_ctx) while staying expressible as the leading-dim
+slices this layout needs (the per-lane variable-index window gather that
+blocked rolling in round 4 is never materialized). Finite-height configs
+keep the select_step path (`rollout.py` auto-selects per config).
 
 Reference parity anchor: the decode loop this replaces is SURVEY.md §3.1's
 actor-in-the-loop GPU/CPU hot loop (model.py forward + pack.py step per
@@ -65,20 +74,32 @@ NEG = -1e9
 
 
 def eligible(cfg: TAPConfig) -> bool:
-    """Unbounded height, no rolling window, bitmask-size precedence."""
-    return (cfg.target_height == 0 and cfg.window == 0
-            and cfg.num_blocks <= 31)
+    """Unbounded height, bitmask-size precedence (<= 2 int32 limbs).
+
+    Rolling windows are handled in-kernel (round 5); only a finite height
+    cap — whose mask needs per-action candidate scans — falls back."""
+    return cfg.target_height == 0 and cfg.num_blocks <= 62
 
 
-def batch_tile(B: int) -> int:
+def _num_limbs(N: int) -> int:
+    """31-bit int32 bitmask limbs covering N blocks (sign bit unused)."""
+    return (N + 30) // 31
+
+
+def batch_tile(B: int, T: int = 0, h: int = 0, itemsize: int = 4) -> int:
     """Largest power-of-two batch tile <= TAPNET_ACTOR_BT (default 1024)
     dividing B (B % 128 == 0). The tile bounds per-launch VMEM: blocks are
     double-buffered across grid steps, and the static-embedding block
-    [h, T, BT] dominates (~5 MB at T=20/f32/BT=1024)."""
+    [h, T, BT] dominates (~5 MB at T=20/f32/BT=1024). When (T, h) are
+    given, the tile also shrinks until the double-buffered embedding block
+    fits ~56 MB — the 50-token rolling config at f32 would otherwise hold
+    2x26 MB of se blocks alone against the 100 MB budget."""
     import os
 
     bt = int(os.environ.get("TAPNET_ACTOR_BT", "1024"))
     while bt > 128 and B % bt:
+        bt //= 2
+    while bt > 128 and T * h * bt * itemsize * 2 > 56e6:
         bt //= 2
     return bt
 
@@ -110,6 +131,7 @@ def _kernel(cfg: TAPConfig, h: int, scale: float, temperature: float,
     N, W, D = cfg.num_blocks, cfg.target_width, cfg.target_depth
     R, C = cfg.num_rot, cfg.num_containers
     T, A = N * R, cfg.num_actions
+    Kw = cfg.window
     cdt = jnp.dtype(dtype).type
     f32 = jnp.float32
     inv_s = 1.0 / scale
@@ -129,22 +151,48 @@ def _kernel(cfg: TAPConfig, h: int, scale: float, temperature: float,
                                        preferred_element_type=f32)
 
         # ---- accessibility from bitmask precedence (env.core._accessibility
-        # semantics: blocked0[i] = any_j up[j, i] & unpacked[j]) — EXACT
+        # semantics: blocked0[i] = any_j up[j, i] & unpacked[j]) — EXACT.
+        # Columns pack into L = ceil(N/31) 31-bit int32 limbs (sign bit
+        # unused) so N up to 62 (the rolling config's 50) stays bitmask.
         packed = packed_ref[:]                               # [N, BT] i32
         unpk = 1 - packed
-        pw2 = jnp.left_shift(
-            jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0))
-        unpk_bits = jnp.sum(unpk * pw2, axis=0, keepdims=True)  # [1, BT]
-        acc0 = (unpk == 1) & ((upm_ref[:] & unpk_bits) == 0)
-        accr = acc0 & ((rotm_ref[:] & unpk_bits) == 0)
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+        L = _num_limbs(N)
+        upm = upm_ref[:]                                     # [L*N, BT]
+        rotm = rotm_ref[:]
+        blocked0 = jnp.zeros((N, BT), bool)
+        blockedr = jnp.zeros((N, BT), bool)
+        for limb in range(L):
+            in_l = (iota_n >= 31 * limb) & (iota_n < 31 * (limb + 1))
+            pw = jnp.where(in_l, jnp.left_shift(
+                jnp.int32(1), jnp.clip(iota_n - 31 * limb, 0, 30)), 0)
+            ub_l = jnp.sum(unpk * pw, axis=0, keepdims=True)  # [1, BT]
+            blocked0 |= (upm[limb * N:(limb + 1) * N] & ub_l) != 0
+            blockedr |= (rotm[limb * N:(limb + 1) * N] & ub_l) != 0
+        acc0 = (unpk == 1) & ~blocked0
+        accr = acc0 & ~blockedr
         acc0_i = acc0.astype(jnp.int32)
         accr_i = accr.astype(jnp.int32)
-        # window bit == acc0 for window == 0 (features.dynamic_flags)
-        flags_out[:] = packed + 2 * acc0_i + 4 * accr_i + 8 * acc0_i
+        if Kw > 0:
+            # rolling window: rank-by-prefix-sum over the accessible
+            # frontier (features.dynamic_flags: rank[i] = #accessible
+            # j < i; win = acc0 & rank < Kw). The strict prefix sum runs
+            # as a strictly-lower-triangular [N, N] matmul — 0/1 operands
+            # and counts < 2^8 are exact through any MXU pass decomposition.
+            r_i = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+            c_i = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            tril = (c_i < r_i).astype(f32)
+            rank = mm(tril, acc0_i.astype(f32)).astype(jnp.int32)
+            win_i = acc0_i * (rank < Kw).astype(jnp.int32)
+        else:
+            # window bit == acc0 for window == 0 (features.dynamic_flags)
+            win_i = acc0_i
+        flags_out[:] = packed + 2 * acc0_i + 4 * accr_i + 8 * win_i
 
         # ---- feasibility mask, rows in flat (block, rot, container) order
+        # (features.mask_from_flags: ok = win [& accr for the rotated copy])
         fits = fits_ref[:]                                   # [R*N, BT] i32
-        ok_r = [acc0_i if r == 0 else acc0_i * accr_i for r in range(R)]
+        ok_r = [win_i if r == 0 else win_i * accr_i for r in range(R)]
         mask_rows = []
         for i in range(N):
             for r in range(R):
@@ -159,11 +207,12 @@ def _kernel(cfg: TAPConfig, h: int, scale: float, temperature: float,
         pk = jnp.sum(packed, axis=0, keepdims=True).astype(f32)
         a0 = jnp.sum(acc0_i, axis=0, keepdims=True).astype(f32)
         ar = jnp.sum(accr_i, axis=0, keepdims=True).astype(f32)
+        wn = jnp.sum(win_i, axis=0, keepdims=True).astype(f32)
         acc_mean = (a0 + ar) / f32(T) if R == 2 else a0 / f32(N)
         ones = jnp.ones((1, BT), f32)
         dsum = jnp.concatenate([
             (pk / f32(N)).astype(cdt), acc_mean.astype(cdt),
-            (a0 / f32(N)).astype(cdt), (ones * tf).astype(cdt),
+            (wn / f32(N)).astype(cdt), (ones * tf).astype(cdt),
             statm_ref[:]], axis=0)                           # [8, BT] cdt
 
         # ---- heightmap encoder per container: flatten x-major + max/mean
@@ -201,12 +250,13 @@ def _kernel(cfg: TAPConfig, h: int, scale: float, temperature: float,
         vvec = v_ref[:].astype(f32)                          # [h, 1]
         pk_c = packed.astype(cdt)
         ac_c = [acc0_i.astype(cdt), accr_i.astype(cdt)]
+        wn_c = win_i.astype(cdt)
         score_rows = []
         for i in range(N):
             for r in range(R):
                 t = i * R + r
                 x_t = jnp.concatenate([
-                    pk_c[i:i + 1], ac_c[r][i:i + 1], ac_c[0][i:i + 1],
+                    pk_c[i:i + 1], ac_c[r][i:i + 1], wn_c[i:i + 1],
                     tf_row, statp[:, t]], axis=0)            # [8, BT]
                 h1 = jnp.maximum(
                     mm(w8t_ref[:], x_t).astype(cdt) + b8_ref[:], 0)
@@ -246,8 +296,9 @@ def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
     """One fused actor+select decode step over batch-last state.
 
     tf f32[1,1] (t/N), packed i32[N,B], hm i32[C*W,D,B], plc i32[N*6,B],
-    prev i32[1,B], dims_* i32[N,B], upm/rotm i32[N,B] (precedence column
-    bitmasks), fits i32[R*N,B], g f32[A,B] (gumbel; zeros = greedy),
+    prev i32[1,B], dims_* i32[N,B], upm/rotm i32[L*N,B] (precedence column
+    bitmasks, L = ceil(N/31) limbs), fits i32[R*N,B], g f32[A,B] (gumbel;
+    zeros = greedy),
     se cdt[T,h,B] (embed_static_T output, reshaped + leading-dims
     transposed — lane-preserving, so cheap), ctx cdt[h,B],
     statp cdt[4,T,B], statm cdt[4,B],
@@ -265,7 +316,8 @@ def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
     T = N * R
     h = se.shape[1]
     B = packed.shape[1]
-    BT = batch_tile(B)
+    Lb = _num_limbs(N)
+    BT = batch_tile(B, T, h, jnp.dtype(dtype).itemsize)
     assert B % BT == 0, f"batch {B} must be a multiple of 128"
 
     grid = (B // BT,)
@@ -280,7 +332,7 @@ def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
         grid=grid,
         in_specs=[full(tf), bspec(N), bspec(C * W, D), bspec(N * 6),
                   bspec(1), bspec(N), bspec(N), bspec(N),
-                  bspec(N), bspec(N), bspec(R * N), bspec(A),
+                  bspec(Lb * N), bspec(Lb * N), bspec(R * N), bspec(A),
                   bspec(T, h), bspec(h), bspec(4, T), bspec(4)]
                  + [full(p) for p in params],
         out_specs=(bspec(N), bspec(C * W, D), bspec(N * 6), bspec(1),
@@ -308,12 +360,23 @@ def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
 
 def precedence_bitmasks(instances, cfg: TAPConfig):
     """Column bitmasks of the up/rot obstruction graphs, batch-last
-    i32[N, B]: upm[i, b] = sum_j up[b, j, i] << j (j obstructs i)."""
+    i32[L*N, B] with L = ceil(N/31) 31-bit limbs (sign bit unused):
+    upm[l*N + i, b] = sum_{j in limb l} up[b, j, i] << (j - 31l)."""
     N = cfg.num_blocks
-    pw = (jnp.int32(1) << jnp.arange(N, dtype=jnp.int32))[None, :, None]
-    upm = (instances.up.astype(jnp.int32) * pw).sum(axis=1).T
-    rotm = (instances.rot.astype(jnp.int32) * pw).sum(axis=1).T
-    return upm, rotm
+    L = _num_limbs(N)
+    j = jnp.arange(N, dtype=jnp.int32)
+
+    def limbs(graph):
+        g = graph.astype(jnp.int32)                          # [B, j, i]
+        rows = []
+        for limb in range(L):
+            in_l = ((j >= 31 * limb) & (j < 31 * (limb + 1)))
+            pw = jnp.where(in_l, jnp.int32(1) << jnp.clip(
+                j - 31 * limb, 0, 30), 0)[None, :, None]
+            rows.append((g * pw).sum(axis=1).T)              # [N, B]
+        return jnp.concatenate(rows, axis=0)                 # [L*N, B]
+
+    return limbs(instances.up), limbs(instances.rot)
 
 
 def fits_planes(instances, cfg: TAPConfig):

@@ -32,10 +32,25 @@ Gradient semantics: this is a jax.custom_vjp whose value and gradient both
 follow the same formula as the XLA replay with different accumulation
 order (SPEC.md §12 tier 2); tests/test_pallas_replay.py checks value and
 every parameter gradient against jax.grad of the XLA path to f32
-tolerance. Coverage mirrors the actor-step kernel: unbounded height, no
-window, N <= 31. Reference anchor: the reference's single backward pass
-over the episode (SURVEY.md §3.1 REINFORCE update, unverified — mount
-empty)."""
+tolerance.
+
+Coverage: every UNBOUNDED-height config, including ROLLING (the window
+enters replay only through the recorded flag bit 3, which `_head_fwd` has
+always consumed — win-masked logits reproduce the windowed-gather softmax
+exactly via exp(-1e9 - max) == 0). Two kernel schedules share the math:
+
+- MONOLITHIC (window == 0, N <= 31): the whole S-step loop Python-unrolled
+  in one launch per batch tile — S*N <= ~1000 token bodies compile fine
+  and it is the proven flagship schedule (2d-basic 20.7M);
+- STEP-GRID (rolling / N > 31): grid = (batch tiles, S) with one decode
+  step per grid cell — the rolling config's S*N = 2500 token bodies would
+  otherwise explode Mosaic compile time and VMEM. TPU grids run the last
+  axis innermost and sequentially, so logp / d_se accumulate in VMEM
+  scratch across the step axis and the recorded [S, ...] slabs STREAM
+  per-step instead of sitting resident.
+
+Reference anchor: the reference's single backward pass over the episode
+(SURVEY.md §3.1 REINFORCE update, unverified — mount empty)."""
 
 from __future__ import annotations
 
@@ -48,9 +63,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tapnet_tpu.config import TAPConfig
-from tapnet_tpu.ops.pallas_actor_step import eligible  # same coverage
 
 NEG = -1e9
+
+
+def eligible(cfg: TAPConfig) -> bool:
+    """Unbounded height only: the replay rebuilds the mask from recorded
+    flags + static fits (features.mask_from_flags semantics), which a
+    finite height cap breaks. Window/N route to a schedule, not out."""
+    return cfg.target_height == 0
+
+
+def _steps_grid(cfg: TAPConfig) -> bool:
+    """Use the step-grid schedule when the monolithic unroll would be too
+    big (rolling windows ride it too: same math, streaming schedule)."""
+    return cfg.window > 0 or cfg.num_blocks > 31
 
 
 def batch_tile(B: int, T: int, h: int) -> int:
@@ -70,9 +97,11 @@ def batch_tile(B: int, T: int, h: int) -> int:
     return bt
 
 
-def _head_fwd(cfg, h, scale, temperature, dtype, refs, k, flags_k, prev_row,
+def _head_fwd(cfg, h, scale, temperature, dtype, refs, tf, flags_k, prev_row,
               hm_k, want_saved=False):
-    """Forward head math for decode step k from recorded state; returns
+    """Forward head math for one decode step from recorded state; tf is the
+    decode-progress scalar t/N (python float in the monolithic kernels,
+    traced f32 in the step-grid ones). Returns
     (masked_logits [A, BT] f32, mask_f [A, BT] f32, saved dict)."""
     (se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
      w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
@@ -102,7 +131,7 @@ def _head_fwd(cfg, h, scale, temperature, dtype, refs, k, flags_k, prev_row,
             mask_rows.extend([row] * C)
     mask_a = jnp.concatenate(mask_rows, axis=0).astype(f32)  # [A, BT]
 
-    tf = f32(k / cfg.num_blocks)
+    tf = tf * jnp.ones((), f32) if not isinstance(tf, float) else f32(tf)
     pk = jnp.sum(packed, axis=0, keepdims=True).astype(f32)
     a0 = jnp.sum(acc0_i, axis=0, keepdims=True).astype(f32)
     ar = jnp.sum(accr_i, axis=0, keepdims=True).astype(f32)
@@ -203,7 +232,7 @@ def _fwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
             prev_row = (acts_ref[k - 1:k] if k > 0
                         else jnp.full((1, BT), -1, jnp.int32))
             masked, _, _ = _head_fwd(cfg, h, scale, temperature, dtype,
-                                     refs, k, flags_ref[k], prev_row,
+                                     refs, k / S, flags_ref[k], prev_row,
                                      hms_ref[k])
             lp, _, _, _ = _logp_row(masked, acts_ref[k:k + 1], A)
             lp_sum = lp_sum + lp
@@ -212,10 +241,89 @@ def _fwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
     return kernel
 
 
+def _bwd_step(cfg: TAPConfig, h, scale, temperature, dtype, refs, wmats,
+              tf, flags_k, prev_row, hm_k, acts_k, dlp, scr):
+    """Backward of ONE replayed decode step (the body both schedules
+    share). Mutates the param-gradient VMEM scratches in `scr` — updated
+    through memory: a loop-carried `acc = acc + dot(...)` value makes
+    Mosaic fuse the add into the dot's accumulator operand, which it only
+    supports for constants ("only constant accumulators supported"); a
+    load-add-store round-trip does not. Returns the per-step
+    (dse deltas list[T] of [h, BT] f32, dctx delta [h, BT] f32), which the
+    caller accumulates (in values for the monolithic kernel, in scratch
+    for the step-grid one)."""
+    N, R, C = cfg.num_blocks, cfg.num_rot, cfg.num_containers
+    T, A = N * R, cfg.num_actions
+    f32 = jnp.float32
+    (dw8t_s, db8_s, dwpt_s, dw1t_s, db1_s,
+     dw2t_s, db2_s, det_s, dwqt_s, dbq_s, dv_s) = scr
+    wpt, w2t, wqt, vv = wmats
+    BT = dlp.shape[1]
+
+    def ct(a, b):  # contract over lanes: [M, BT] x [K, BT] -> [M, K]
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def cth(w, g):  # contract over rows: [h, K] x [h, BT] -> [K, BT]
+        return jax.lax.dot_general(w, g, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    masked, mask_f, sv = _head_fwd(cfg, h, scale, temperature, dtype, refs,
+                                   tf, flags_k, prev_row, hm_k,
+                                   want_saved=True)
+    _, p, onehot, valid = _logp_row(masked, acts_k, A)
+
+    # d masked = dlp * valid * (onehot - p); d scores through the
+    # where(mask)/temp gate
+    g_scores = (dlp * valid * (onehot - p)
+                * mask_f) * f32(1.0 / temperature)          # [A, BT]
+
+    dse_t = [jnp.zeros((h, BT), f32) for _ in range(T)]
+    dctx = jnp.zeros((h, BT), f32)
+    dqs = [jnp.zeros((h, BT), f32) for _ in range(C)]
+    for i in range(N):
+        for r in range(R):
+            t = i * R + r
+            x_t, h1, acts_c = sv["tok"][t]
+            d_dyn = jnp.zeros((h, BT), f32)
+            for c in range(C):
+                act = acts_c[c].astype(f32)
+                ds = g_scores[(t * C + c):(t * C + c + 1)]  # [1, BT]
+                dv_s[:] = dv_s[:] + jnp.sum(act * ds, axis=1,
+                                            keepdims=True)
+                dpre = (vv * ds) * (1.0 - act * act)        # [h, BT]
+                dse_t[t] = dse_t[t] + dpre
+                d_dyn = d_dyn + dpre
+                dqs[c] = dqs[c] + dpre
+            h1f = h1.astype(f32)
+            dwpt_s[:] = dwpt_s[:] + ct(d_dyn, h1f)
+            dh1 = cth(wpt, d_dyn) * (h1f > 0)               # [32, BT]
+            dw8t_s[:] = dw8t_s[:] + ct(dh1, x_t.astype(f32))
+            db8_s[:] = db8_s[:] + jnp.sum(dh1, axis=1, keepdims=True)
+
+    d_prev = jnp.zeros((h, BT), f32)
+    for c in range(C):
+        qin = sv["qins"][c].astype(f32)                     # [3h+8, BT]
+        dwqt_s[:] = dwqt_s[:] + ct(dqs[c], qin)
+        dbq_s[:] = dbq_s[:] + jnp.sum(dqs[c], axis=1, keepdims=True)
+        dqin = cth(wqt, dqs[c])                             # [3h+8, BT]
+        d_hm = dqin[0:h]
+        dctx = dctx + dqin[h:2 * h]
+        d_prev = d_prev + dqin[2 * h:3 * h]
+        feats, e1 = sv["hm"][c]
+        e1f = e1.astype(f32)
+        dw2t_s[:] = dw2t_s[:] + ct(d_hm, e1f)
+        db2_s[:] = db2_s[:] + jnp.sum(d_hm, axis=1, keepdims=True)
+        de1 = cth(w2t, d_hm) * (e1f > 0)
+        dw1t_s[:] = dw1t_s[:] + ct(de1, feats.astype(f32))
+        db1_s[:] = db1_s[:] + jnp.sum(de1, axis=1, keepdims=True)
+    det_s[:] = det_s[:] + ct(d_prev, sv["oh_prev"].astype(f32))
+    return dse_t, dctx
+
+
 def _bwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
-    N, W, D = cfg.num_blocks, cfg.target_width, cfg.target_depth
-    R, C = cfg.num_rot, cfg.num_containers
-    S, T, A = N, N * R, cfg.num_actions
+    N, R = cfg.num_blocks, cfg.num_rot
+    S, T = N, N * R
     f32 = jnp.float32
 
     def kernel(dlp_ref, flags_ref, hms_ref, acts_ref,
@@ -232,20 +340,7 @@ def _bwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
                 w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                 et_ref, wqt_ref, bq_ref, v_ref)
 
-        def ct(a, b):  # contract over lanes: [M, BT] x [K, BT] -> [M, K]
-            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=f32)
-
-        def cth(w, g):  # contract over rows: [h, K] x [h, BT] -> [K, BT]
-            return jax.lax.dot_general(w, g, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=f32)
-
         dlp = dlp_ref[:].astype(f32)                       # [1, BT]
-        # parameter-gradient accumulators live in VMEM SCRATCH and are
-        # updated through memory: a loop-carried `acc = acc + dot(...)`
-        # value makes Mosaic fuse the add into the dot's accumulator
-        # operand, which it only supports for constants ("only constant
-        # accumulators supported"); a load-add-store round-trip does not
         scratches = (dw8t_s, db8_s, dwpt_s, dw1t_s, db1_s,
                      dw2t_s, db2_s, det_s, dwqt_s, dbq_s, dv_s)
         for s in scratches:
@@ -253,62 +348,19 @@ def _bwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
         dse_t = [jnp.zeros((h, BT), f32) for _ in range(T)]
         dctx = jnp.zeros((h, BT), f32)
 
-        wpt = wpt_ref[:].astype(f32)
-        w2t = w2t_ref[:].astype(f32)
-        wqt = wqt_ref[:].astype(f32)
-        vv = v_ref[:].astype(f32)                          # [h, 1]
+        wmats = (wpt_ref[:].astype(f32), w2t_ref[:].astype(f32),
+                 wqt_ref[:].astype(f32), v_ref[:].astype(f32))
 
         for k in range(S):
             prev_row = (acts_ref[k - 1:k] if k > 0
                         else jnp.full((1, BT), -1, jnp.int32))
-            masked, mask_f, sv = _head_fwd(
-                cfg, h, scale, temperature, dtype, refs, k, flags_ref[k],
-                prev_row, hms_ref[k], want_saved=True)
-            _, p, onehot, valid = _logp_row(masked, acts_ref[k:k + 1], A)
-
-            # d masked = dlp * valid * (onehot - p); d scores through the
-            # where(mask)/temp gate
-            g_scores = (dlp * valid * (onehot - p)
-                        * mask_f) * f32(1.0 / temperature)  # [A, BT]
-
-            dqs = [jnp.zeros((h, BT), f32) for _ in range(C)]
-            for i in range(N):
-                for r in range(R):
-                    t = i * R + r
-                    x_t, h1, acts_c = sv["tok"][t]
-                    d_dyn = jnp.zeros((h, BT), f32)
-                    for c in range(C):
-                        act = acts_c[c].astype(f32)
-                        ds = g_scores[(t * C + c):(t * C + c + 1)]  # [1,BT]
-                        dv_s[:] = dv_s[:] + jnp.sum(act * ds, axis=1,
-                                                    keepdims=True)
-                        dpre = (vv * ds) * (1.0 - act * act)  # [h, BT]
-                        dse_t[t] = dse_t[t] + dpre
-                        d_dyn = d_dyn + dpre
-                        dqs[c] = dqs[c] + dpre
-                    h1f = h1.astype(f32)
-                    dwpt_s[:] = dwpt_s[:] + ct(d_dyn, h1f)
-                    dh1 = cth(wpt, d_dyn) * (h1f > 0)      # [32, BT]
-                    dw8t_s[:] = dw8t_s[:] + ct(dh1, x_t.astype(f32))
-                    db8_s[:] = db8_s[:] + jnp.sum(dh1, axis=1, keepdims=True)
-
-            d_prev = jnp.zeros((h, BT), f32)
-            for c in range(C):
-                qin = sv["qins"][c].astype(f32)            # [3h+8, BT]
-                dwqt_s[:] = dwqt_s[:] + ct(dqs[c], qin)
-                dbq_s[:] = dbq_s[:] + jnp.sum(dqs[c], axis=1, keepdims=True)
-                dqin = cth(wqt, dqs[c])                    # [3h+8, BT]
-                d_hm = dqin[0:h]
-                dctx = dctx + dqin[h:2 * h]
-                d_prev = d_prev + dqin[2 * h:3 * h]
-                feats, e1 = sv["hm"][c]
-                e1f = e1.astype(f32)
-                dw2t_s[:] = dw2t_s[:] + ct(d_hm, e1f)
-                db2_s[:] = db2_s[:] + jnp.sum(d_hm, axis=1, keepdims=True)
-                de1 = cth(w2t, d_hm) * (e1f > 0)
-                dw1t_s[:] = dw1t_s[:] + ct(de1, feats.astype(f32))
-                db1_s[:] = db1_s[:] + jnp.sum(de1, axis=1, keepdims=True)
-            det_s[:] = det_s[:] + ct(d_prev, sv["oh_prev"].astype(f32))
+            dse_d, dctx_d = _bwd_step(
+                cfg, h, scale, temperature, dtype, refs, wmats, k / S,
+                flags_ref[k], prev_row, hms_ref[k], acts_ref[k:k + 1],
+                dlp, scratches)
+            for t in range(T):
+                dse_t[t] = dse_t[t] + dse_d[t]
+            dctx = dctx + dctx_d
 
         for t in range(T):
             dse_out[t] = dse_t[t]
@@ -329,6 +381,125 @@ def _bwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
     return kernel
 
 
+def batch_tile_steps(B: int, T: int, h: int) -> int:
+    """Step-grid batch tile: the recorded [S, ...] slabs STREAM one decode
+    step per grid cell, so only the per-cell working set binds — the d_se
+    accumulator scratch, the per-step saved token activations and the
+    (double-buffered) se / d_se blocks, ~5 f32 tensors of [T, h, BT].
+    Default 512 (TAPNET_REPLAY_STEPS_BT overrides), shrunk while the
+    estimated backward working set — d_se scratch (f32) + d_se output
+    block (f32) + se block (cdt) + saved tanh activations (cdt), ~12 bytes
+    per (token, hidden, lane) — exceeds ~60 MB. The rolling driver config
+    (T=100, h=128) lands on BT=256; 128 was measured 1.5x slower (2x the
+    grid cells, same math)."""
+    import os
+
+    bt = int(os.environ.get("TAPNET_REPLAY_STEPS_BT", "512"))
+    while bt > 128 and B % bt:
+        bt //= 2
+    while bt > 128 and T * h * bt * 12 > 60e6:
+        bt //= 2
+    return bt
+
+
+def _fwd_kernel_steps(cfg: TAPConfig, h: int, scale, temperature, dtype):
+    S, A = cfg.num_blocks, cfg.num_actions
+    f32 = jnp.float32
+
+    def kernel(flags_ref, hms_ref, acts_ref, prev_ref,
+               se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+               w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+               et_ref, wqt_ref, bq_ref, v_ref, logp_out, lp_s):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            lp_s[:] = jnp.zeros(lp_s.shape, f32)
+
+        refs = (se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+                w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                et_ref, wqt_ref, bq_ref, v_ref)
+        tf = k.astype(f32) / f32(S)
+        # acts/prev ride as [S, 1, B] so their (1, BT) step blocks satisfy
+        # Mosaic's last-two-dims rule (1 == the array's own middle dim)
+        masked, _, _ = _head_fwd(cfg, h, scale, temperature, dtype, refs,
+                                 tf, flags_ref[0], prev_ref[0], hms_ref[0])
+        lp, _, _, _ = _logp_row(masked, acts_ref[0], A)
+        lp_s[:] = lp_s[:] + lp
+
+        @pl.when(k == S - 1)
+        def _():
+            logp_out[:] = lp_s[:]
+
+    return kernel
+
+
+def _bwd_kernel_steps(cfg: TAPConfig, h: int, scale, temperature, dtype,
+                      nb: int):
+    """Step-grid backward: one decode step per grid cell. d_se / d_ctx
+    accumulate in VMEM scratch across the (sequential, innermost) step
+    axis and flush to their batch-tile output blocks at the last step;
+    param gradients accumulate across the WHOLE grid and flush once at
+    the final cell (nb = number of batch tiles)."""
+    N, R = cfg.num_blocks, cfg.num_rot
+    S, T = N, N * R
+    f32 = jnp.float32
+
+    def kernel(dlp_ref, flags_ref, hms_ref, acts_ref, prev_ref,
+               se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+               w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+               et_ref, wqt_ref, bq_ref, v_ref,
+               dse_out, dctx_out,
+               dw8t_out, db8_out, dwpt_out, dw1t_out, db1_out,
+               dw2t_out, db2_out, det_out, dwqt_out, dbq_out, dv_out,
+               dw8t_s, db8_s, dwpt_s, dw1t_s, db1_s,
+               dw2t_s, db2_s, det_s, dwqt_s, dbq_s, dv_s,
+               dse_s, dctx_s):
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+        refs = (se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+                w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                et_ref, wqt_ref, bq_ref, v_ref)
+        scratches = (dw8t_s, db8_s, dwpt_s, dw1t_s, db1_s,
+                     dw2t_s, db2_s, det_s, dwqt_s, dbq_s, dv_s)
+
+        @pl.when((b == 0) & (k == 0))
+        def _():
+            for s in scratches:
+                s[:] = jnp.zeros(s.shape, f32)
+
+        @pl.when(k == 0)
+        def _():
+            dse_s[:] = jnp.zeros(dse_s.shape, f32)
+            dctx_s[:] = jnp.zeros(dctx_s.shape, f32)
+
+        wmats = (wpt_ref[:].astype(f32), w2t_ref[:].astype(f32),
+                 wqt_ref[:].astype(f32), v_ref[:].astype(f32))
+        dlp = dlp_ref[:].astype(f32)
+        tf = k.astype(f32) / f32(S)
+        dse_d, dctx_d = _bwd_step(cfg, h, scale, temperature, dtype, refs,
+                                  wmats, tf, flags_ref[0], prev_ref[0],
+                                  hms_ref[0], acts_ref[0], dlp, scratches)
+        for t in range(T):
+            dse_s[t] = dse_s[t] + dse_d[t]
+        dctx_s[:] = dctx_s[:] + dctx_d
+
+        @pl.when(k == S - 1)
+        def _():
+            dse_out[:] = dse_s[:]
+            dctx_out[:] = dctx_s[:]
+
+        outs = (dw8t_out, db8_out, dwpt_out, dw1t_out, db1_out,
+                dw2t_out, db2_out, det_out, dwqt_out, dbq_out, dv_out)
+
+        @pl.when((b == nb - 1) & (k == S - 1))
+        def _():
+            for out, s in zip(outs, scratches):
+                out[:] = s[:]
+
+    return kernel
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def replay_logp_fused(statics, diff, data):
     """sum_t log pi(a_t|s_t) via the Pallas replay kernels.
@@ -336,44 +507,85 @@ def replay_logp_fused(statics, diff, data):
     statics: hashable (cfg, temperature, dtype_name, interpret)
     diff:    (params_tuple, se [T,h,B] cdt, ctx [h,B] cdt) — differentiable
     data:    (flags i32[S,N,B], hms i32[S,C*W,D,B], acts i32[S,B],
+              prev i32[S,B] (acts shifted by one; row 0 = -1),
               statp cdt[4,T,B], statm cdt[4,B], fits i32[R*N,B])
-    Returns logp f32[B].
+    Returns logp f32[B]. Schedule (monolithic vs step-grid) is picked per
+    config by _steps_grid; `prev` is only read by the step-grid kernels
+    (the monolithic ones shift acts in-register).
     """
     out, _ = _fwd_impl(statics, diff, data)
     return out
+
+
+def _specs(cfg, T, h, B, BT, params, steps):
+    """(grid, in-spec builders, full/rep spec) for one schedule.
+
+    bspec: batch-tiled operand (revisited across the step axis when the
+    grid has one); sspec: per-decode-step streamed operand (step-grid
+    only); full/rep: whole-array operand / revisited whole-array output."""
+    if steps:
+        grid = (B // BT, cfg.num_blocks)
+        bspec = lambda *shape: pl.BlockSpec(
+            (*shape, BT), lambda b, k: tuple([0] * len(shape)) + (b,),
+            memory_space=pltpu.VMEM)
+        sspec = lambda *shape: pl.BlockSpec(
+            (1, *shape, BT), lambda b, k: (k,) + tuple([0] * len(shape))
+            + (b,), memory_space=pltpu.VMEM)
+        full = lambda x: pl.BlockSpec(
+            x.shape, lambda b, k: tuple([0] * x.ndim),
+            memory_space=pltpu.VMEM)
+    else:
+        grid = (B // BT,)
+        bspec = lambda *shape: pl.BlockSpec(
+            (*shape, BT), lambda i: tuple([0] * len(shape)) + (i,),
+            memory_space=pltpu.VMEM)
+        sspec = None
+        full = lambda x: pl.BlockSpec(
+            x.shape, lambda i: tuple([0] * x.ndim), memory_space=pltpu.VMEM)
+    return grid, bspec, sspec, full
 
 
 def _fwd_impl(statics, diff, data):
     cfg, temperature, dtype_name, interpret = statics
     dtype = jnp.dtype(dtype_name)
     params, se, ctx = diff
-    flags, hms, acts, statp, statm, fits = data
+    flags, hms, acts, prev, statp, statm, fits = data
     from tapnet_tpu.models.features import _scale
 
     T, h, B = se.shape
-    BT = batch_tile(B, T, h)
-    S, A = cfg.num_blocks, cfg.num_actions
-    grid = (B // BT,)
-    bspec = lambda *shape: pl.BlockSpec(
-        (*shape, BT), lambda i: tuple([0] * len(shape)) + (i,),
-        memory_space=pltpu.VMEM)
-    full = lambda x: pl.BlockSpec(
-        x.shape, lambda i: tuple([0] * x.ndim), memory_space=pltpu.VMEM)
+    steps = _steps_grid(cfg)
+    BT = batch_tile_steps(B, T, h) if steps else batch_tile(B, T, h)
+    S = cfg.num_blocks
     N, W, D = cfg.num_blocks, cfg.target_width, cfg.target_depth
     R, C = cfg.num_rot, cfg.num_containers
+    grid, bspec, sspec, full = _specs(cfg, T, h, B, BT, params, steps)
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+               if not interpret else None)
 
-    logp = pl.pallas_call(
-        _fwd_kernel(cfg, h, _scale(cfg), temperature, dtype),
-        grid=grid,
-        in_specs=[bspec(S, N), bspec(S, C * W, D), bspec(S),
-                  bspec(T, h), bspec(h), bspec(4, T), bspec(4),
-                  bspec(R * N)] + [full(p) for p in params],
-        out_specs=bspec(1),
-        out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20) if not interpret else None,
-        interpret=interpret,
-    )(flags, hms, acts, se, ctx, statp, statm, fits, *params)
+    if steps:
+        logp = pl.pallas_call(
+            _fwd_kernel_steps(cfg, h, _scale(cfg), temperature, dtype),
+            grid=grid,
+            in_specs=[sspec(N), sspec(C * W, D), sspec(1), sspec(1),
+                      bspec(T, h), bspec(h), bspec(4, T), bspec(4),
+                      bspec(R * N)] + [full(p) for p in params],
+            out_specs=bspec(1),
+            out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, BT), jnp.float32)],
+            compiler_params=cparams, interpret=interpret,
+        )(flags, hms, acts[:, None], prev[:, None], se, ctx, statp, statm,
+          fits, *params)
+    else:
+        logp = pl.pallas_call(
+            _fwd_kernel(cfg, h, _scale(cfg), temperature, dtype),
+            grid=grid,
+            in_specs=[bspec(S, N), bspec(S, C * W, D), bspec(S),
+                      bspec(T, h), bspec(h), bspec(4, T), bspec(4),
+                      bspec(R * N)] + [full(p) for p in params],
+            out_specs=bspec(1),
+            out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
+            compiler_params=cparams, interpret=interpret,
+        )(flags, hms, acts, se, ctx, statp, statm, fits, *params)
     return logp[0], (diff, data)
 
 
@@ -382,39 +594,54 @@ def _bwd_impl(statics, res, g):
     dtype = jnp.dtype(dtype_name)
     diff, data = res
     params, se, ctx = diff
-    flags, hms, acts, statp, statm, fits = data
+    flags, hms, acts, prev, statp, statm, fits = data
     from tapnet_tpu.models.features import _scale
 
     T, h, B = se.shape
-    BT = batch_tile(B, T, h)
-    S, A = cfg.num_blocks, cfg.num_actions
-    grid = (B // BT,)
-    bspec = lambda *shape: pl.BlockSpec(
-        (*shape, BT), lambda i: tuple([0] * len(shape)) + (i,),
-        memory_space=pltpu.VMEM)
-    full = lambda x: pl.BlockSpec(
-        x.shape, lambda i: tuple([0] * x.ndim), memory_space=pltpu.VMEM)
-    rep = lambda x: pl.BlockSpec(   # revisited block: accumulated over grid
-        x.shape, lambda i: tuple([0] * x.ndim), memory_space=pltpu.VMEM)
+    steps = _steps_grid(cfg)
+    BT = batch_tile_steps(B, T, h) if steps else batch_tile(B, T, h)
+    S = cfg.num_blocks
     N, W, D = cfg.num_blocks, cfg.target_width, cfg.target_depth
     R, C = cfg.num_rot, cfg.num_containers
+    grid, bspec, sspec, full = _specs(cfg, T, h, B, BT, params, steps)
+    rep = full  # revisited whole-array output block, accumulated over grid
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+               if not interpret else None)
+    out_specs = tuple([bspec(T, h), bspec(h)] + [rep(p) for p in params])
+    out_shape = tuple(
+        [jax.ShapeDtypeStruct((T, h, B), jnp.float32),
+         jax.ShapeDtypeStruct((h, B), jnp.float32)]
+        + [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params])
 
-    outs = pl.pallas_call(
-        _bwd_kernel(cfg, h, _scale(cfg), temperature, dtype),
-        grid=grid,
-        in_specs=[bspec(1), bspec(S, N), bspec(S, C * W, D), bspec(S),
-                  bspec(T, h), bspec(h), bspec(4, T), bspec(4),
-                  bspec(R * N)] + [full(p) for p in params],
-        out_specs=tuple([bspec(T, h), bspec(h)] + [rep(p) for p in params]),
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((T, h, B), jnp.float32),
-             jax.ShapeDtypeStruct((h, B), jnp.float32)]
-            + [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in params]),
-        scratch_shapes=[pltpu.VMEM(p.shape, jnp.float32) for p in params],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20) if not interpret else None,
-        interpret=interpret,
-    )(g[None], flags, hms, acts, se, ctx, statp, statm, fits, *params)
+    if steps:
+        outs = pl.pallas_call(
+            _bwd_kernel_steps(cfg, h, _scale(cfg), temperature, dtype,
+                              B // BT),
+            grid=grid,
+            in_specs=[bspec(1), sspec(N), sspec(C * W, D), sspec(1),
+                      sspec(1),
+                      bspec(T, h), bspec(h), bspec(4, T), bspec(4),
+                      bspec(R * N)] + [full(p) for p in params],
+            out_specs=out_specs, out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM(p.shape, jnp.float32)
+                            for p in params]
+            + [pltpu.VMEM((T, h, BT), jnp.float32),
+               pltpu.VMEM((h, BT), jnp.float32)],
+            compiler_params=cparams, interpret=interpret,
+        )(g[None], flags, hms, acts[:, None], prev[:, None], se, ctx,
+          statp, statm, fits, *params)
+    else:
+        outs = pl.pallas_call(
+            _bwd_kernel(cfg, h, _scale(cfg), temperature, dtype),
+            grid=grid,
+            in_specs=[bspec(1), bspec(S, N), bspec(S, C * W, D), bspec(S),
+                      bspec(T, h), bspec(h), bspec(4, T), bspec(4),
+                      bspec(R * N)] + [full(p) for p in params],
+            out_specs=out_specs, out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM(p.shape, jnp.float32)
+                            for p in params],
+            compiler_params=cparams, interpret=interpret,
+        )(g[None], flags, hms, acts, se, ctx, statp, statm, fits, *params)
     dse, dctx = outs[0], outs[1]
     dparams = tuple(d.astype(p.dtype) for d, p in zip(outs[2:], params))
     d_diff = (dparams, dse.astype(se.dtype), dctx.astype(ctx.dtype))

@@ -207,14 +207,21 @@ def _make_windowed_head(actor, actor_params, instances: Instance,
         win, rank, onehot, validw = _window_onehot(f, Kw)  # oh [B, Kw, N]
         oh32 = onehot.astype(jnp.float32)
 
-        # all contractions in compute dtype: a one-hot dot has exactly one
-        # nonzero term, so bf16 accumulation is still exact
+        # one-hot contractions at precision="highest": a one-hot dot has
+        # exactly one nonzero term, so the ACCUMULATION is exact in any
+        # dtype — but the default matmul precision truncates the VALUE
+        # operand to bf16 passes (JAX 0.9 does this even for f32 on CPU;
+        # measured ~4e-3 logit drift vs the full head, enough to flip
+        # sampled near-ties against the fused actor kernel, which matches
+        # the full head to ~1e-6). "highest" keeps the gathered value
+        # bit-exact, which is what this docstring promises.
+        hi = "highest"
         ohc = onehot.astype(cdt)
         se_g = jnp.einsum("bwn,bnf->bwf", onehot.astype(se_bn.dtype),
-                          se_bn).reshape(B, Kw * R, h)
+                          se_bn, precision=hi).reshape(B, Kw * R, h)
         gf = jnp.einsum("bwn,bn->bw", ohc,
-                        f.astype(cdt)).astype(jnp.int32)
-        static_g = jnp.einsum("bwn,bnf->bwf", ohc, static_bn)
+                        f.astype(cdt), precision=hi).astype(jnp.int32)
+        static_g = jnp.einsum("bwn,bnf->bwf", ohc, static_bn, precision=hi)
         dyn_g = tokens_from_flags(
             gf, jnp.asarray(t_frac, jnp.float32), cfg)  # [B, Kw*R, 4]
         merged = jnp.concatenate(
@@ -227,7 +234,7 @@ def _make_windowed_head(actor, actor_params, instances: Instance,
                                     ctx, dsum)         # [B, Kw*R*C]
         # scatter back to the full action space (exact: 1.0 * score)
         full = jnp.einsum("bwn,bwz->bnz", oh32,
-                          scores.reshape(B, Kw, R * C))
+                          scores.reshape(B, Kw, R * C), precision=hi)
         return full.reshape(B, cfg.num_actions)
 
     return win_head
@@ -441,7 +448,7 @@ def _rollout_record_actorfused(actor_params, instances: Instance, keys,
     # worth 0.64 ms/step in the trace (tiny minor dims copy scalar-ish)
     statp = static_t4.astype(cdt).reshape(4, T, B)                 # [4, T, B]
     statm = static.astype(cdt).mean(axis=1).T                      # [4, B]
-    upm, rotm = AS.precedence_bitmasks(instances, cfg)             # [N, B]
+    upm, rotm = AS.precedence_bitmasks(instances, cfg)             # [L*N, B]
     fits = AS.fits_planes(instances, cfg)                          # [R*N, B]
     params = AS.head_operands(actor_params, cfg, dtype)
 
@@ -543,10 +550,13 @@ def _replay_logp_kernel(actor_params, instances: Instance,
     flags = jnp.swapaxes(record.flags.astype(jnp.int32), 1, 2)     # [S, N, B]
     hms = record.heightmap.transpose(0, 2, 3, 4, 1).reshape(
         N, C * W, D, B)                                            # batch-last
+    prev = jnp.concatenate([jnp.full((1, B), -1, jnp.int32),
+                            record.action[:-1]], axis=0)           # [S, B]
     statics = (cfg, float(temperature), jnp.dtype(dtype).name,
                bool(interpret))
     return replay_logp_fused(statics, (params, se, ctx),
-                             (flags, hms, record.action, statp, statm, fits))
+                             (flags, hms, record.action, prev, statp,
+                              statm, fits))
 
 
 def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
@@ -566,13 +576,28 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
     OOMs a 16 GB chip. jax.checkpoint recomputes each chunk's forward in
     the backward pass, so peak memory is one chunk instead of N steps.
 
-    windowed (auto: on for rolling unbounded-height configs): replay only
-    the <=window observable (block, rot) tokens per decode row instead of
-    all N*R — see _replay_logp_windowed. For the 50-block/window-10 driver
-    config this cuts replay bytes and FLOPs ~5x (the round-3 replay was
-    HBM-bound on [K, B, 100, h] intermediates whose masked-out rows could
-    never carry probability mass — VERDICT r3 item 3).
+    windowed (auto: on for rolling unbounded-height configs when the
+    Pallas replay is unavailable): replay only the <=window observable
+    (block, rot) tokens per decode row instead of all N*R — see
+    _replay_logp_windowed. For the 50-block/window-10 driver config this
+    cuts replay bytes and FLOPs ~5x vs the general XLA replay. On TPU the
+    step-grid replay KERNEL takes precedence for rolling too (round 5):
+    it scores all N*R tokens but keeps every head activation in VMEM, so
+    it beats the windowed XLA pass despite the 5x token work — the window
+    enters only through recorded flag bit 3 + logit masking, which
+    reproduces the windowed softmax exactly (exp(-1e9 - max) == 0).
     """
+    if kernel is None and windowed is None:
+        import os
+
+        from tapnet_tpu.ops import pallas_replay as PR
+        if (PR.eligible(cfg) and record.action.shape[1] % 128 == 0
+                and jax.default_backend() == "tpu"
+                and os.environ.get("TAPNET_REPLAY_KERNEL", "1") != "0"):
+            kernel = True
+    if kernel:
+        return _replay_logp_kernel(actor_params, instances, record, cfg,
+                                   hidden, temperature, dtype, interpret)
     if windowed is None:
         windowed = 0 < cfg.window < cfg.num_blocks and cfg.target_height == 0
     if windowed:
@@ -581,16 +606,6 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
             "from flags; finite-height masks need the recorded candidates"
         return _replay_logp_windowed(actor_params, instances, record, cfg,
                                      hidden, temperature, dtype, chunk)
-    if kernel is None:
-        import os
-
-        from tapnet_tpu.ops import pallas_actor_step as AS
-        kernel = (AS.eligible(cfg) and record.action.shape[1] % 128 == 0
-                  and jax.default_backend() == "tpu"
-                  and os.environ.get("TAPNET_REPLAY_KERNEL", "1") != "0")
-    if kernel:
-        return _replay_logp_kernel(actor_params, instances, record, cfg,
-                                   hidden, temperature, dtype, interpret)
     actor = TAPNetActor(cfg, hidden, dtype=jnp.dtype(dtype).type)
     N = cfg.num_blocks
     B = record.action.shape[1]
@@ -752,13 +767,16 @@ def _replay_logp_windowed(actor_params, instances: Instance,
     # compact index form for the body's one-hot rebuild (4 MB, not 400)
     bidx = (onehot * jnp.arange(N, dtype=jnp.int32)).sum(-1)   # [N, B, Kw]
 
-    # recorded-flag / instance-constant gathers as one-hot contractions
-    # (values <= 15 / exact small floats); take_along_axis is banned here:
-    # TPU lowers short-row dynamic gathers to scalar loops that cost more
-    # than all the tensor math combined (16-25 ms each at this size, traced)
+    # recorded-flag / instance-constant gathers as one-hot contractions at
+    # precision="highest" (default matmul precision bf16-truncates the
+    # VALUE operand — see _make_windowed_head); take_along_axis is banned
+    # here: TPU lowers short-row dynamic gathers to scalar loops that cost
+    # more than all the tensor math combined (16-25 ms each, traced)
+    hi = "highest"
     gf = jnp.einsum("sbwn,sbn->sbw", ohc,
-                    f.astype(cdt)).astype(jnp.int32)
-    static_g = jnp.einsum("sbwn,bnf->sbwf", ohc, static_bn)   # [N,B,Kw,R*4]
+                    f.astype(cdt), precision=hi).astype(jnp.int32)
+    static_g = jnp.einsum("sbwn,bnf->sbwf", ohc, static_bn,
+                          precision=hi)                       # [N,B,Kw,R*4]
 
     dyn_g = tokens_from_flags(
         gf, ts[:, None].astype(jnp.float32) / N, cfg)  # [N, B, Kw*R, 4]
@@ -772,7 +790,8 @@ def _replay_logp_windowed(actor_params, instances: Instance,
     accr_g = ((gf >> 2) & 1).astype(bool)
     per_rot = []
     for r in range(cfg.num_rot):
-        fits = jnp.einsum("sbwn,bn->sbw", ohc, fits_pre[r]) > 0.5
+        fits = jnp.einsum("sbwn,bn->sbw", ohc, fits_pre[r],
+                          precision=hi) > 0.5
         ok = validw if r == 0 else (validw & accr_g)
         per_rot.append(ok & fits)
     mask_g = jnp.broadcast_to(
@@ -817,10 +836,11 @@ def _replay_logp_windowed(actor_params, instances: Instance,
         # rather than stored: [B, N, Kw, Nb] in bf16 would be 400 MB of xs)
         oh = ((bidx_c[..., None] == jnp.arange(N, dtype=jnp.int32))
               & validw_c[..., None]).astype(se_bn_c.dtype)  # [Bc,S,Kw,Nb]
-        # differentiable gather of static embeddings: one-hot GEMM (exact —
-        # each output row is 1.0 * one input row; backward is a GEMM too)
-        se_g = jnp.einsum("bswn,bnf->bswf", oh,
-                          se_bn_c).reshape(Bc, N, Kw * R, h)
+        # differentiable gather of static embeddings: one-hot GEMM (exact
+        # at precision="highest" — each output row is 1.0 * one input row;
+        # backward is a GEMM too)
+        se_g = jnp.einsum("bswn,bnf->bswf", oh, se_bn_c,
+                          precision="highest").reshape(Bc, N, Kw * R, h)
         hmg = heightmap_grid(hm_c, cfg)                # [Bc, S, C, W, D, 1]
         ctx_ns = jnp.broadcast_to(ctx_c[:, None], (Bc, N) + ctx_c.shape[1:])
         scores = jax.vmap(jax.vmap(head_one))(

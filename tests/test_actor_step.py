@@ -26,30 +26,46 @@ from tapnet_tpu.ops import pallas_actor_step as AS
 from tapnet_tpu.train import rollout as RO
 
 ELIGIBLE = ["2d-basic", "2d-rot", "3d-basic", "multi-container"]
+# rolling joined the kernel's coverage in round 5 (in-kernel window +
+# multi-limb precedence bitmasks); its N=50 interpret runs are multi-minute,
+# so the driver config runs under -m slow and a small rolling config keeps
+# fast coverage (hardware gate: PARITY_TPU.json).
+WINDOWED = ["2d-rolling"]
+SMALL_ROLLING = TAPConfig(num_blocks=12, min_blocks=6, container_width=8,
+                          container_height=12, target_width=8, window=4,
+                          allow_rot=True)
+# two precedence-bitmask limbs (N > 31) with a small board
+TWO_LIMB = TAPConfig(num_blocks=34, min_blocks=20, container_width=8,
+                     container_height=40, target_width=8, window=6)
 
 
 def _rollouts(cfg, B=128, hidden=48, seed=3, greedy=False):
-    key = jax.random.key(seed)
-    params = init_params(key, cfg, hidden)
-    instances = sample_batch(key, B, cfg)
-    keys = jax.random.split(jax.random.key(seed + 7), B)
-    gen = RO.rollout_batch_record(params["actor"], instances, keys, cfg,
-                                  hidden=hidden, step_kernel=False,
-                                  actor_kernel=False, greedy=greedy)
-    ker = RO.rollout_batch_record(params["actor"], instances, keys, cfg,
-                                  hidden=hidden, actor_kernel=True,
-                                  interpret=True, greedy=greedy)
+    # exact-f32 matmuls: the tier-1 bit-exactness contract presumes f32
+    # compute, but JAX 0.9's DEFAULT matmul precision runs bf16 passes
+    # even for f32 on this CPU backend — enough drift (~1e-3 logits) to
+    # flip sampled near-ties between two correct paths
+    with jax.default_matmul_precision("highest"):
+        key = jax.random.key(seed)
+        params = init_params(key, cfg, hidden)
+        instances = sample_batch(key, B, cfg)
+        keys = jax.random.split(jax.random.key(seed + 7), B)
+        gen = RO.rollout_batch_record(params["actor"], instances, keys, cfg,
+                                      hidden=hidden, step_kernel=False,
+                                      actor_kernel=False, greedy=greedy)
+        ker = RO.rollout_batch_record(params["actor"], instances, keys, cfg,
+                                      hidden=hidden, actor_kernel=True,
+                                      interpret=True, greedy=greedy)
+        jax.block_until_ready((gen, ker))
     return params, instances, gen, ker
 
 
-@pytest.mark.parametrize("name", ELIGIBLE)
-def test_trajectory_parity_sampled(name):
+def _assert_sampled_parity(cfg, seed=3):
     """Tier-1+2 composite: SAMPLED rollouts are action-sequence equal (the
     gumbel perturbation makes logit ties measure-zero, so ~1e-6 logit
     divergence cannot flip an argmax), hence all integer state matches
     bit-exactly."""
-    cfg = CONFIGS[name]
-    _, _, (s_g, r_g, lp_g), (s_k, r_k, lp_k) = _rollouts(cfg, greedy=False)
+    _, _, (s_g, r_g, lp_g), (s_k, r_k, lp_k) = _rollouts(cfg, seed=seed,
+                                                         greedy=False)
     np.testing.assert_array_equal(np.asarray(r_k.action),
                                   np.asarray(r_g.action))
     np.testing.assert_array_equal(np.asarray(r_k.flags),
@@ -66,9 +82,67 @@ def test_trajectory_parity_sampled(name):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("name", ELIGIBLE)
+def test_trajectory_parity_sampled(name):
+    _assert_sampled_parity(CONFIGS[name])
+
+
+@pytest.mark.slow  # N=50 interpret rollout; hardware gate: PARITY_TPU.json
+@pytest.mark.parametrize("name", WINDOWED)
+def test_trajectory_parity_sampled_rolling(name):
+    """Round-5 coverage: the driver rolling config through the fused actor
+    kernel — in-kernel window rank, 2-limb precedence, full-token scoring
+    with window masking — bit-matches the windowed general path."""
+    _assert_sampled_parity(CONFIGS[name])
+
+
+def test_trajectory_parity_sampled_small_rolling():
+    """Fast rolling coverage: window rank + window-masked mask/logits on a
+    12-block rotation config (single precedence limb)."""
+    _assert_sampled_parity(SMALL_ROLLING)
+
+
+@pytest.mark.slow  # N=34 interpret rollout
+def test_trajectory_parity_sampled_two_limb():
+    """N > 31: the two-limb precedence bitmask path, plus a window."""
+    _assert_sampled_parity(TWO_LIMB)
+
+
+def test_precedence_bitmask_limbs():
+    """precedence_bitmasks packs >31-block graphs into 31-bit limbs whose
+    blocked-test reproduces env.core._accessibility exactly."""
+    from tapnet_tpu.env.core import _accessibility
+
+    cfg = TWO_LIMB
+    key = jax.random.key(11)
+    instances = sample_batch(key, 16, cfg)
+    N = cfg.num_blocks
+    upm, rotm = AS.precedence_bitmasks(instances, cfg)     # [2N, B]
+    upm, rotm = np.asarray(upm), np.asarray(rotm)
+    packed = np.asarray(
+        jax.random.bernoulli(key, 0.4, (16, N))).astype(bool)
+    acc0_ref, accr_ref = jax.vmap(_accessibility)(
+        instances, jnp.asarray(packed))
+    unpk = (~packed).astype(np.int64)                      # [B, N]
+    for limbs, ref in ((upm, acc0_ref), (rotm, accr_ref)):
+        blocked = np.zeros((16, N), bool)
+        for limb in range(2):
+            ub = np.zeros((16,), np.int64)
+            for j in range(31 * limb, min(N, 31 * (limb + 1))):
+                ub |= unpk[:, j] << (j - 31 * limb)
+            blocked |= (limbs[limb * N:(limb + 1) * N].T & ub[:, None]) != 0
+        got = unpk.astype(bool) & ~blocked
+        if ref is accr_ref:
+            got &= prev_acc
+        np.testing.assert_array_equal(got, np.asarray(ref))
+        prev_acc = got
+
+
 def test_eligibility():
+    # round 5: every unbounded-height config (incl. rolling) is eligible;
+    # only the finite-height cap falls back to the select_step path
     for name, cfg in CONFIGS.items():
-        assert AS.eligible(cfg) == (name in ELIGIBLE), name
+        assert AS.eligible(cfg) == (cfg.target_height == 0), name
     assert not AS.eligible(TAPConfig(target_height=12,
                                      reward_type="C+P+S-lb-hard"))
 

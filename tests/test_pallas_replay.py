@@ -13,16 +13,23 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tapnet_tpu.config import CONFIGS
+from tapnet_tpu.config import CONFIGS, TAPConfig
 from tapnet_tpu.env.sampler import sample_batch
 from tapnet_tpu.models.tapnet import init_params
 from tapnet_tpu.train import rollout as RO
 
 ELIGIBLE = ["2d-basic", "2d-rot", "3d-basic", "multi-container"]
+# round 5: rolling rides the STEP-GRID replay schedule (one decode step per
+# grid cell) — driver config under -m slow, small config for fast coverage
+WINDOWED = ["2d-rolling"]
+SMALL_ROLLING = TAPConfig(num_blocks=12, min_blocks=6, container_width=8,
+                          container_height=12, target_width=8, window=4,
+                          allow_rot=True)
 
 
-def _setup(name, B=128, hidden=48, seed=3):
-    cfg = CONFIGS[name]
+def _setup(cfg, B=128, hidden=48, seed=3):
+    if isinstance(cfg, str):
+        cfg = CONFIGS[cfg]
     key = jax.random.key(seed)
     params = init_params(key, cfg, hidden)["actor"]
     instances = sample_batch(key, B, cfg)
@@ -33,23 +40,78 @@ def _setup(name, B=128, hidden=48, seed=3):
     return cfg, params, instances, jax.lax.stop_gradient(record), hidden
 
 
-@pytest.mark.parametrize("name", ELIGIBLE)
-def test_value_and_grad_parity(name):
-    cfg, params, instances, record, hidden = _setup(name)
+def _assert_value_grad_parity(name, atol=5e-5):
+    # exact-f32 matmuls for BOTH paths: JAX 0.9's default precision runs
+    # bf16 passes even for f32 on this CPU backend, which would put ~1e-4
+    # of the XLA path's own rounding into the comparison
+    with jax.default_matmul_precision("highest"):
+        cfg, params, instances, record, hidden = _setup(name)
 
-    def lp(p, kernel):
-        return RO.replay_logp_sum(p, instances, record, cfg, hidden=hidden,
-                                  kernel=kernel, interpret=kernel).sum()
+        def lp(p, kernel):
+            return RO.replay_logp_sum(p, instances, record, cfg,
+                                      hidden=hidden, kernel=kernel,
+                                      interpret=kernel).sum()
 
-    vx, gx = jax.value_and_grad(lambda p: lp(p, False))(params)
-    vk, gk = jax.value_and_grad(lambda p: lp(p, True))(params)
+        vx, gx = jax.value_and_grad(lambda p: lp(p, False))(params)
+        vk, gk = jax.value_and_grad(lambda p: lp(p, True))(params)
     np.testing.assert_allclose(float(vk), float(vx), rtol=1e-5, atol=1e-3)
     for (path, a), (_, b) in zip(
             jax.tree_util.tree_leaves_with_path(gx),
             jax.tree_util.tree_leaves_with_path(gk)):
         scale = np.max(np.abs(np.asarray(a))) + 1e-9
         np.testing.assert_allclose(
-            np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-5,
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=atol,
+            err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize("name", ELIGIBLE)
+def test_value_and_grad_parity(name):
+    _assert_value_grad_parity(name)
+
+
+@pytest.mark.slow  # S=50 interpret replay; hardware gate: PARITY_TPU.json
+@pytest.mark.parametrize("name", WINDOWED)
+def test_value_and_grad_parity_rolling(name):
+    """The step-grid schedule on the driver rolling config vs jax.grad of
+    the windowed XLA replay (which it replaces on TPU)."""
+    _assert_value_grad_parity(name)
+
+
+def test_value_and_grad_parity_small_rolling():
+    """Fast step-grid coverage: windowed replay kernel on a 12-block
+    rotation config."""
+    _assert_value_grad_parity(SMALL_ROLLING)
+
+
+def test_steps_schedule_matches_monolithic():
+    """Both kernel schedules are the same math: force the step-grid
+    schedule onto a config the monolithic schedule owns and compare value
+    and gradients kernel-vs-kernel."""
+    from tapnet_tpu.ops import pallas_replay as PR
+
+    with jax.default_matmul_precision("highest"):
+        cfg, params, instances, record, hidden = _setup("2d-basic")
+
+        def lp(p):
+            return RO.replay_logp_sum(p, instances, record, cfg,
+                                      hidden=hidden, kernel=True,
+                                      interpret=True).sum()
+
+        v_mono, g_mono = jax.value_and_grad(lp)(params)
+        orig = PR._steps_grid
+        PR._steps_grid = lambda cfg: True
+        try:
+            v_steps, g_steps = jax.value_and_grad(lp)(params)
+        finally:
+            PR._steps_grid = orig
+    np.testing.assert_allclose(float(v_steps), float(v_mono),
+                               rtol=1e-6, atol=1e-4)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_mono),
+            jax.tree_util.tree_leaves_with_path(g_steps)):
+        scale = np.max(np.abs(np.asarray(a))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
 
 
