@@ -143,7 +143,7 @@ def _kernel(cfg: TAPConfig, h: int, scale: float, temperature: float,
                w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                et_ref, wqt_ref, bq_ref, v_ref,
                packed_out, hm_out, plc_out, act_out,
-               flags_out, mask_out, logits_out):
+               flags_out, mask_out, logits_out, logp_out):
         BT = packed_ref.shape[1]
 
         def mm(a, b):  # W^T [out, in] @ X [in, BT], f32 accumulation (MXU)
@@ -251,27 +251,37 @@ def _kernel(cfg: TAPConfig, h: int, scale: float, temperature: float,
         pk_c = packed.astype(cdt)
         ac_c = [acc0_i.astype(cdt), accr_i.astype(cdt)]
         wn_c = win_i.astype(cdt)
-        score_rows = []
+        # batch the dyn-MLP GEMMs across tokens: one lane-concat of the
+        # [8, BT] token inputs (structured copies, no relayout) feeds ONE
+        # GEMM pair over [.., T*BT] instead of T tiny pairs; per-column
+        # contraction order is identical, so tier-2 semantics are
+        # unchanged. dyn comes back to [h, BT] per token via lane-offset
+        # slices (free in this layout).
+        x_cols = []
         for i in range(N):
             for r in range(R):
                 t = i * R + r
-                x_t = jnp.concatenate([
+                x_cols.append(jnp.concatenate([
                     pk_c[i:i + 1], ac_c[r][i:i + 1], wn_c[i:i + 1],
-                    tf_row, statp[:, t]], axis=0)            # [8, BT]
-                h1 = jnp.maximum(
-                    mm(w8t_ref[:], x_t).astype(cdt) + b8_ref[:], 0)
-                dyn_t = mm(wpt_ref[:], h1).astype(cdt)       # [h, BT]
-                se_t = se_ref[t]                             # [h, BT]
-                for c in range(C):
-                    act = jnp.tanh(se_t + dyn_t + qs[c])
-                    # full-precision multiply+reduce over h — the same
-                    # contraction order as the XLA head's `act @ v`
-                    # (bit-matched it in the f32 hardware parity run); a
-                    # default-precision f32 MXU dot here is a bf16-pass
-                    # decomposition (measured 8.8e-3 logit divergence)
-                    s_tc = jnp.sum(act.astype(f32) * vvec, axis=0,
-                                   keepdims=True).astype(cdt).astype(f32)
-                    score_rows.append(s_tc)
+                    tf_row, statp[:, t]], axis=0))           # [8, BT]
+        x_all = jnp.concatenate(x_cols, axis=1)              # [8, T*BT]
+        h1_all = jnp.maximum(
+            mm(w8t_ref[:], x_all).astype(cdt) + b8_ref[:], 0)
+        dyn_all = mm(wpt_ref[:], h1_all).astype(cdt)         # [h, T*BT]
+        score_rows = []
+        for t in range(T):
+            dyn_t = dyn_all[:, t * BT:(t + 1) * BT]          # [h, BT]
+            se_t = se_ref[t]                                 # [h, BT]
+            for c in range(C):
+                act = jnp.tanh(se_t + dyn_t + qs[c])
+                # full-precision multiply+reduce over h — the same
+                # contraction order as the XLA head's `act @ v`
+                # (bit-matched it in the f32 hardware parity run); a
+                # default-precision f32 MXU dot here is a bf16-pass
+                # decomposition (measured 8.8e-3 logit divergence)
+                s_tc = jnp.sum(act.astype(f32) * vvec, axis=0,
+                               keepdims=True).astype(cdt).astype(f32)
+                score_rows.append(s_tc)
         scores = jnp.concatenate(score_rows, axis=0)         # [A, BT] f32
         logits_out[:] = scores
 
@@ -283,6 +293,20 @@ def _kernel(cfg: TAPConfig, h: int, scale: float, temperature: float,
         hm_out[:] = h_n
         plc_out[:] = l_n
         act_out[:] = a_n
+
+        # ---- log pi(a | s) of the chosen action, same shifted-softmax
+        # formula as pallas_replay._logp_row / jax.nn.log_softmax: emitting
+        # it here makes the rollout's logp stream ~free, which lets the
+        # replay custom-VJP skip its forward kernel (the REINFORCE gradient
+        # never needs the primal recomputed — see replay_logp_fused)
+        mx_l = jnp.max(masked, axis=0, keepdims=True)        # [1, BT]
+        e_l = jnp.exp(masked - mx_l)
+        s_l = jnp.sum(e_l, axis=0, keepdims=True)
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (A, BT), 0)
+        sel = (iota_a == jnp.maximum(a_n, 0)).astype(f32)
+        lp = jnp.sum(sel * (masked - mx_l - jnp.log(s_l)), axis=0,
+                     keepdims=True)
+        logp_out[:] = jnp.where(a_n >= 0, lp, 0.0)
 
     return kernel
 
@@ -305,7 +329,8 @@ def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
     params = head_operands(...).
 
     Returns (packed', hm', plc', action[B], flags i32[N,B], mask i32[A,B],
-    logits f32[A,B]). B must be a multiple of 128.
+    logits f32[A,B], logp f32[B] — log pi(action|state), 0 where invalid).
+    B must be a multiple of 128.
     """
     assert eligible(cfg)
     from tapnet_tpu.models.features import _scale
@@ -336,7 +361,7 @@ def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
                   bspec(T, h), bspec(h), bspec(4, T), bspec(4)]
                  + [full(p) for p in params],
         out_specs=(bspec(N), bspec(C * W, D), bspec(N * 6), bspec(1),
-                   bspec(N), bspec(A), bspec(A)),
+                   bspec(N), bspec(A), bspec(A), bspec(1)),
         out_shape=(
             jax.ShapeDtypeStruct((N, B), jnp.int32),
             jax.ShapeDtypeStruct((C * W, D, B), jnp.int32),
@@ -345,6 +370,7 @@ def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
             jax.ShapeDtypeStruct((N, B), jnp.int32),
             jax.ShapeDtypeStruct((A, B), jnp.int32),
             jax.ShapeDtypeStruct((A, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
         ),
         # the default 16 MB scoped-vmem budget rejects the double-buffered
         # [T, h, BT] static-embedding blocks at production batch sizes; the
@@ -354,8 +380,8 @@ def actor_select_step(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
         interpret=interpret,
     )(tf, packed, hm, plc, prev, dims_w, dims_d, dims_h,
       upm, rotm, fits, g, se, ctx, statp, statm, *params)
-    packed_o, hm_o, plc_o, act, flags, mask, logits = outs
-    return packed_o, hm_o, plc_o, act[0], flags, mask, logits
+    packed_o, hm_o, plc_o, act, flags, mask, logits, logp = outs
+    return packed_o, hm_o, plc_o, act[0], flags, mask, logits, logp[0]
 
 
 def precedence_bitmasks(instances, cfg: TAPConfig):

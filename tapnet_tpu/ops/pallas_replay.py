@@ -68,10 +68,11 @@ NEG = -1e9
 
 
 def eligible(cfg: TAPConfig) -> bool:
-    """Unbounded height only: the replay rebuilds the mask from recorded
-    flags + static fits (features.mask_from_flags semantics), which a
-    finite height cap breaks. Window/N route to a schedule, not out."""
-    return cfg.target_height == 0
+    """Every config (round 5): the feasibility mask rides in as RECORDED
+    data ([S, A, B], bit-exact from the rollout) instead of being rebuilt
+    from flags + static fits — which a finite height cap would break.
+    Window / N / target_height route to a schedule, never out."""
+    return True
 
 
 def _steps_grid(cfg: TAPConfig) -> bool:
@@ -98,12 +99,14 @@ def batch_tile(B: int, T: int, h: int) -> int:
 
 
 def _head_fwd(cfg, h, scale, temperature, dtype, refs, tf, flags_k, prev_row,
-              hm_k, want_saved=False):
+              hm_k, mask_k, want_saved=False):
     """Forward head math for one decode step from recorded state; tf is the
     decode-progress scalar t/N (python float in the monolithic kernels,
-    traced f32 in the step-grid ones). Returns
+    traced f32 in the step-grid ones); mask_k i32[A, BT] is the RECORDED
+    feasibility mask (bit-exact rollout output — works for finite-height
+    configs whose mask cannot be rebuilt from flags). Returns
     (masked_logits [A, BT] f32, mask_f [A, BT] f32, saved dict)."""
-    (se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+    (se_ref, ctx_ref, statp_ref, statm_ref,
      w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
      et_ref, wqt_ref, bq_ref, v_ref) = refs
     N, W, D = cfg.num_blocks, cfg.target_width, cfg.target_depth
@@ -122,14 +125,7 @@ def _head_fwd(cfg, h, scale, temperature, dtype, refs, tf, flags_k, prev_row,
     accr_i = (flags_k >> 2) & 1
     win_i = (flags_k >> 3) & 1
 
-    fits = fits_ref[:]
-    ok_r = [win_i if r == 0 else win_i * accr_i for r in range(R)]
-    mask_rows = []
-    for i in range(N):
-        for r in range(R):
-            row = ok_r[r][i:i + 1] * fits[r * N + i:r * N + i + 1]
-            mask_rows.extend([row] * C)
-    mask_a = jnp.concatenate(mask_rows, axis=0).astype(f32)  # [A, BT]
+    mask_a = mask_k.astype(f32)                            # [A, BT]
 
     tf = tf * jnp.ones((), f32) if not isinstance(tf, float) else f32(tf)
     pk = jnp.sum(packed, axis=0, keepdims=True).astype(f32)
@@ -219,12 +215,12 @@ def _logp_row(masked, acts_k, A):
 def _fwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
     S, A = cfg.num_blocks, cfg.num_actions
 
-    def kernel(flags_ref, hms_ref, acts_ref,
-               se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+    def kernel(flags_ref, hms_ref, masks_ref, acts_ref,
+               se_ref, ctx_ref, statp_ref, statm_ref,
                w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                et_ref, wqt_ref, bq_ref, v_ref, logp_out):
         BT = acts_ref.shape[1]
-        refs = (se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+        refs = (se_ref, ctx_ref, statp_ref, statm_ref,
                 w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                 et_ref, wqt_ref, bq_ref, v_ref)
         lp_sum = jnp.zeros((1, BT), jnp.float32)
@@ -233,7 +229,7 @@ def _fwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
                         else jnp.full((1, BT), -1, jnp.int32))
             masked, _, _ = _head_fwd(cfg, h, scale, temperature, dtype,
                                      refs, k / S, flags_ref[k], prev_row,
-                                     hms_ref[k])
+                                     hms_ref[k], masks_ref[k])
             lp, _, _, _ = _logp_row(masked, acts_ref[k:k + 1], A)
             lp_sum = lp_sum + lp
         logp_out[:] = lp_sum
@@ -242,7 +238,7 @@ def _fwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
 
 
 def _bwd_step(cfg: TAPConfig, h, scale, temperature, dtype, refs, wmats,
-              tf, flags_k, prev_row, hm_k, acts_k, dlp, scr):
+              tf, flags_k, prev_row, hm_k, mask_k, acts_k, dlp, scr):
     """Backward of ONE replayed decode step (the body both schedules
     share). Mutates the param-gradient VMEM scratches in `scr` — updated
     through memory: a loop-carried `acc = acc + dot(...)` value makes
@@ -269,7 +265,7 @@ def _bwd_step(cfg: TAPConfig, h, scale, temperature, dtype, refs, wmats,
                                    preferred_element_type=f32)
 
     masked, mask_f, sv = _head_fwd(cfg, h, scale, temperature, dtype, refs,
-                                   tf, flags_k, prev_row, hm_k,
+                                   tf, flags_k, prev_row, hm_k, mask_k,
                                    want_saved=True)
     _, p, onehot, valid = _logp_row(masked, acts_k, A)
 
@@ -326,8 +322,8 @@ def _bwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
     S, T = N, N * R
     f32 = jnp.float32
 
-    def kernel(dlp_ref, flags_ref, hms_ref, acts_ref,
-               se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+    def kernel(dlp_ref, flags_ref, hms_ref, masks_ref, acts_ref,
+               se_ref, ctx_ref, statp_ref, statm_ref,
                w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                et_ref, wqt_ref, bq_ref, v_ref,
                dse_out, dctx_out,
@@ -336,7 +332,7 @@ def _bwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
                dw8t_s, db8_s, dwpt_s, dw1t_s, db1_s,
                dw2t_s, db2_s, det_s, dwqt_s, dbq_s, dv_s):
         BT = acts_ref.shape[1]
-        refs = (se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+        refs = (se_ref, ctx_ref, statp_ref, statm_ref,
                 w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                 et_ref, wqt_ref, bq_ref, v_ref)
 
@@ -356,8 +352,8 @@ def _bwd_kernel(cfg: TAPConfig, h: int, scale, temperature, dtype):
                         else jnp.full((1, BT), -1, jnp.int32))
             dse_d, dctx_d = _bwd_step(
                 cfg, h, scale, temperature, dtype, refs, wmats, k / S,
-                flags_ref[k], prev_row, hms_ref[k], acts_ref[k:k + 1],
-                dlp, scratches)
+                flags_ref[k], prev_row, hms_ref[k], masks_ref[k],
+                acts_ref[k:k + 1], dlp, scratches)
             for t in range(T):
                 dse_t[t] = dse_t[t] + dse_d[t]
             dctx = dctx + dctx_d
@@ -406,8 +402,8 @@ def _fwd_kernel_steps(cfg: TAPConfig, h: int, scale, temperature, dtype):
     S, A = cfg.num_blocks, cfg.num_actions
     f32 = jnp.float32
 
-    def kernel(flags_ref, hms_ref, acts_ref, prev_ref,
-               se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+    def kernel(flags_ref, hms_ref, masks_ref, acts_ref, prev_ref,
+               se_ref, ctx_ref, statp_ref, statm_ref,
                w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                et_ref, wqt_ref, bq_ref, v_ref, logp_out, lp_s):
         k = pl.program_id(1)
@@ -416,14 +412,15 @@ def _fwd_kernel_steps(cfg: TAPConfig, h: int, scale, temperature, dtype):
         def _():
             lp_s[:] = jnp.zeros(lp_s.shape, f32)
 
-        refs = (se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+        refs = (se_ref, ctx_ref, statp_ref, statm_ref,
                 w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                 et_ref, wqt_ref, bq_ref, v_ref)
         tf = k.astype(f32) / f32(S)
         # acts/prev ride as [S, 1, B] so their (1, BT) step blocks satisfy
         # Mosaic's last-two-dims rule (1 == the array's own middle dim)
         masked, _, _ = _head_fwd(cfg, h, scale, temperature, dtype, refs,
-                                 tf, flags_ref[0], prev_ref[0], hms_ref[0])
+                                 tf, flags_ref[0], prev_ref[0], hms_ref[0],
+                                 masks_ref[0])
         lp, _, _, _ = _logp_row(masked, acts_ref[0], A)
         lp_s[:] = lp_s[:] + lp
 
@@ -445,8 +442,8 @@ def _bwd_kernel_steps(cfg: TAPConfig, h: int, scale, temperature, dtype,
     S, T = N, N * R
     f32 = jnp.float32
 
-    def kernel(dlp_ref, flags_ref, hms_ref, acts_ref, prev_ref,
-               se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+    def kernel(dlp_ref, flags_ref, hms_ref, masks_ref, acts_ref, prev_ref,
+               se_ref, ctx_ref, statp_ref, statm_ref,
                w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                et_ref, wqt_ref, bq_ref, v_ref,
                dse_out, dctx_out,
@@ -457,7 +454,7 @@ def _bwd_kernel_steps(cfg: TAPConfig, h: int, scale, temperature, dtype,
                dse_s, dctx_s):
         b = pl.program_id(0)
         k = pl.program_id(1)
-        refs = (se_ref, ctx_ref, statp_ref, statm_ref, fits_ref,
+        refs = (se_ref, ctx_ref, statp_ref, statm_ref,
                 w8t_ref, b8_ref, wpt_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
                 et_ref, wqt_ref, bq_ref, v_ref)
         scratches = (dw8t_s, db8_s, dwpt_s, dw1t_s, db1_s,
@@ -479,7 +476,8 @@ def _bwd_kernel_steps(cfg: TAPConfig, h: int, scale, temperature, dtype,
         tf = k.astype(f32) / f32(S)
         dse_d, dctx_d = _bwd_step(cfg, h, scale, temperature, dtype, refs,
                                   wmats, tf, flags_ref[0], prev_ref[0],
-                                  hms_ref[0], acts_ref[0], dlp, scratches)
+                                  hms_ref[0], masks_ref[0], acts_ref[0],
+                                  dlp, scratches)
         for t in range(T):
             dse_s[t] = dse_s[t] + dse_d[t]
         dctx_s[:] = dctx_s[:] + dctx_d
@@ -504,14 +502,30 @@ def _bwd_kernel_steps(cfg: TAPConfig, h: int, scale, temperature, dtype,
 def replay_logp_fused(statics, diff, data):
     """sum_t log pi(a_t|s_t) via the Pallas replay kernels.
 
-    statics: hashable (cfg, temperature, dtype_name, interpret)
+    statics: hashable (cfg, temperature, dtype_name, interpret, use_primal)
     diff:    (params_tuple, se [T,h,B] cdt, ctx [h,B] cdt) — differentiable
-    data:    (flags i32[S,N,B], hms i32[S,C*W,D,B], acts i32[S,B],
-              prev i32[S,B] (acts shifted by one; row 0 = -1),
-              statp cdt[4,T,B], statm cdt[4,B], fits i32[R*N,B])
+    data:    (flags i32[S,N,B], hms i32[S,C*W,D,B],
+              masks i32[S,A,B] (the RECORDED feasibility mask — valid for
+              every config incl. finite-height, whose mask cannot be
+              rebuilt from flags),
+              acts i32[S,B], prev i32[S,B] (acts shifted; row 0 = -1),
+              statp cdt[4,T,B], statm cdt[4,B],
+              logp0 f32[B] — precomputed primal, zeros when unused)
     Returns logp f32[B]. Schedule (monolithic vs step-grid) is picked per
     config by _steps_grid; `prev` is only read by the step-grid kernels
     (the monolithic ones shift acts in-register).
+
+    use_primal skips the FORWARD kernel entirely and returns logp0 — the
+    per-step logp the fused actor rollout kernel emits ~for free
+    (identical shifted-softmax formula). The REINFORCE gradient never
+    needs the primal recomputed: the hand-derived BACKWARD kernel is
+    self-contained (it re-runs the head per decode step itself), so the
+    custom-VJP's value/gradient pair stays exactly the REINFORCE
+    estimator — value from the rollout head, gradient from the replay
+    head, the two equal to SPEC.md §12 tier-2 accumulation tolerance
+    (gradients bit-identical with/without the primal —
+    tests/test_pallas_replay.py). The skipped forward was 10.9 ms/step of
+    pure recomputation on the rolling config.
     """
     out, _ = _fwd_impl(statics, diff, data)
     return out
@@ -546,10 +560,12 @@ def _specs(cfg, T, h, B, BT, params, steps):
 
 
 def _fwd_impl(statics, diff, data):
-    cfg, temperature, dtype_name, interpret = statics
+    cfg, temperature, dtype_name, interpret, use_primal = statics
     dtype = jnp.dtype(dtype_name)
     params, se, ctx = diff
-    flags, hms, acts, prev, statp, statm, fits = data
+    flags, hms, masks, acts, prev, statp, statm, logp0 = data
+    if use_primal:
+        return logp0, (diff, data)
     from tapnet_tpu.models.features import _scale
 
     T, h, B = se.shape
@@ -566,35 +582,37 @@ def _fwd_impl(statics, diff, data):
         logp = pl.pallas_call(
             _fwd_kernel_steps(cfg, h, _scale(cfg), temperature, dtype),
             grid=grid,
-            in_specs=[sspec(N), sspec(C * W, D), sspec(1), sspec(1),
-                      bspec(T, h), bspec(h), bspec(4, T), bspec(4),
-                      bspec(R * N)] + [full(p) for p in params],
+            in_specs=[sspec(N), sspec(C * W, D), sspec(R * N * C),
+                      sspec(1), sspec(1),
+                      bspec(T, h), bspec(h), bspec(4, T), bspec(4)]
+            + [full(p) for p in params],
             out_specs=bspec(1),
             out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
             scratch_shapes=[pltpu.VMEM((1, BT), jnp.float32)],
             compiler_params=cparams, interpret=interpret,
-        )(flags, hms, acts[:, None], prev[:, None], se, ctx, statp, statm,
-          fits, *params)
+        )(flags, hms, masks, acts[:, None], prev[:, None], se, ctx, statp,
+          statm, *params)
     else:
         logp = pl.pallas_call(
             _fwd_kernel(cfg, h, _scale(cfg), temperature, dtype),
             grid=grid,
-            in_specs=[bspec(S, N), bspec(S, C * W, D), bspec(S),
-                      bspec(T, h), bspec(h), bspec(4, T), bspec(4),
-                      bspec(R * N)] + [full(p) for p in params],
+            in_specs=[bspec(S, N), bspec(S, C * W, D),
+                      bspec(S, R * N * C), bspec(S),
+                      bspec(T, h), bspec(h), bspec(4, T), bspec(4)]
+            + [full(p) for p in params],
             out_specs=bspec(1),
             out_shape=jax.ShapeDtypeStruct((1, B), jnp.float32),
             compiler_params=cparams, interpret=interpret,
-        )(flags, hms, acts, se, ctx, statp, statm, fits, *params)
+        )(flags, hms, masks, acts, se, ctx, statp, statm, *params)
     return logp[0], (diff, data)
 
 
 def _bwd_impl(statics, res, g):
-    cfg, temperature, dtype_name, interpret = statics
+    cfg, temperature, dtype_name, interpret, _use_primal = statics
     dtype = jnp.dtype(dtype_name)
     diff, data = res
     params, se, ctx = diff
-    flags, hms, acts, prev, statp, statm, fits = data
+    flags, hms, masks, acts, prev, statp, statm, _logp0 = data
     from tapnet_tpu.models.features import _scale
 
     T, h, B = se.shape
@@ -618,30 +636,32 @@ def _bwd_impl(statics, res, g):
             _bwd_kernel_steps(cfg, h, _scale(cfg), temperature, dtype,
                               B // BT),
             grid=grid,
-            in_specs=[bspec(1), sspec(N), sspec(C * W, D), sspec(1),
-                      sspec(1),
-                      bspec(T, h), bspec(h), bspec(4, T), bspec(4),
-                      bspec(R * N)] + [full(p) for p in params],
+            in_specs=[bspec(1), sspec(N), sspec(C * W, D),
+                      sspec(R * N * C), sspec(1), sspec(1),
+                      bspec(T, h), bspec(h), bspec(4, T), bspec(4)]
+            + [full(p) for p in params],
             out_specs=out_specs, out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM(p.shape, jnp.float32)
                             for p in params]
             + [pltpu.VMEM((T, h, BT), jnp.float32),
                pltpu.VMEM((h, BT), jnp.float32)],
             compiler_params=cparams, interpret=interpret,
-        )(g[None], flags, hms, acts[:, None], prev[:, None], se, ctx,
-          statp, statm, fits, *params)
+        )(g[None], flags, hms, masks, acts[:, None], prev[:, None], se,
+          ctx, statp, statm, *params)
     else:
         outs = pl.pallas_call(
             _bwd_kernel(cfg, h, _scale(cfg), temperature, dtype),
             grid=grid,
-            in_specs=[bspec(1), bspec(S, N), bspec(S, C * W, D), bspec(S),
-                      bspec(T, h), bspec(h), bspec(4, T), bspec(4),
-                      bspec(R * N)] + [full(p) for p in params],
+            in_specs=[bspec(1), bspec(S, N), bspec(S, C * W, D),
+                      bspec(S, R * N * C), bspec(S),
+                      bspec(T, h), bspec(h), bspec(4, T), bspec(4)]
+            + [full(p) for p in params],
             out_specs=out_specs, out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM(p.shape, jnp.float32)
                             for p in params],
             compiler_params=cparams, interpret=interpret,
-        )(g[None], flags, hms, acts, se, ctx, statp, statm, fits, *params)
+        )(g[None], flags, hms, masks, acts, se, ctx, statp, statm,
+          *params)
     dse, dctx = outs[0], outs[1]
     dparams = tuple(d.astype(p.dtype) for d, p in zip(outs[2:], params))
     d_diff = (dparams, dse.astype(se.dtype), dctx.astype(ctx.dtype))

@@ -53,17 +53,23 @@ def _batch_losses(params, instances, keys, cfg: TAPConfig, hidden: int,
 
     # 1. Rollout WITHOUT gradients (stop_gradient on params => XLA saves no
     #    scan residuals; the decode loop is pure inference + env stepping).
-    states, record, _ = rollout_batch_record(
+    #    with_logp: the fused actor kernel emits per-step logp ~for free,
+    #    which the replay below uses as its custom-VJP primal — skipping
+    #    the replay FORWARD kernel (the REINFORCE gradient only needs the
+    #    hand-derived backward; rollout and replay heads agree to SPEC.md
+    #    §12 tier-2 tolerance).
+    states, record, logp0 = rollout_batch_record(
         jax.lax.stop_gradient(params["actor"]), instances, keys, cfg, hidden,
         greedy=False, temperature=temperature, dtype=dtype,
         step_kernel=step_kernel, actor_kernel=actor_kernel, mesh=mesh,
-        axis=axis, with_logp=False)
+        axis=axis, with_logp=True)
     record = jax.lax.stop_gradient(record)
 
     # 2. Replay: differentiable log-probs of the recorded actions, all B*N
     #    decode steps in one batched forward (MXU-shaped backward).
     logp = replay_logp_sum(params["actor"], instances, record, cfg, hidden,
-                           temperature, dtype=dtype)
+                           temperature, dtype=dtype,
+                           logp0=jax.lax.stop_gradient(logp0))
 
     def value(instance):
         s0 = E.reset(instance, cfg)

@@ -477,24 +477,23 @@ def _rollout_record_actorfused(actor_params, instances: Instance, keys,
                       bl(2), bl(2), bl(2), bl(2), bl(2), bl(2), bl(2),
                       bl(3), bl(2), bl(3), bl(2),
                       tuple(rep(p) for p in params)),
-            out_specs=(bl(2), bl(3), bl(2), bl(1), bl(2), bl(2), bl(2)),
+            out_specs=(bl(2), bl(3), bl(2), bl(1), bl(2), bl(2), bl(2),
+                       bl(1)),
             check_vma=False)
-
-    iota_a = jnp.arange(A, dtype=jnp.int32)[:, None]
 
     def body(carry, x):
         tf_x, g = x
         packed_bl, hm_bl, plc_bl, prev, logp_sum = carry
         rec_hm = hm_bl                                   # pre-step state
-        packed_n, hm_n, plc_n, a, flags, mask, logits = step_fn(
+        packed_n, hm_n, plc_n, a, flags, mask, logits, lp = step_fn(
             tf_x, packed_bl, hm_bl, plc_bl, prev, dims_w, dims_d, dims_h,
             upm, rotm, fits, g, se, ctx, statp, statm, params)
         if with_logp:
-            masked = jnp.where(mask == 1, logits / temperature, NEG)
-            lsm = jax.nn.log_softmax(masked, axis=0)     # [A, B]
-            lp = jnp.sum(jnp.where(iota_a == jnp.maximum(a, 0)[None],
-                                   lsm, 0.0), axis=0)
-            logp_sum = logp_sum + jnp.where(a >= 0, lp, 0.0)
+            # log pi of the chosen action comes straight from the kernel
+            # (same shifted-softmax formula as the XLA path, already zero
+            # at invalid steps) — the XLA log_softmax over [A, B] this
+            # replaced was the only with_logp cost
+            logp_sum = logp_sum + lp
         return ((packed_n, hm_n, plc_n, a[None], logp_sum),
                 (flags, rec_hm, mask, a))
 
@@ -521,7 +520,7 @@ def _rollout_record_actorfused(actor_params, instances: Instance, keys,
 
 def _replay_logp_kernel(actor_params, instances: Instance,
                         record: RolloutRecord, cfg: TAPConfig, hidden,
-                        temperature, dtype, interpret=False):
+                        temperature, dtype, interpret=False, logp0=None):
     """Pallas custom-VJP replay (ops.pallas_replay): forward logp + hand-
     derived backward in two kernel launches; the only XLA-differentiated
     remnants are the embed_static_T chain and head_operands casts, whose
@@ -544,26 +543,32 @@ def _replay_logp_kernel(actor_params, instances: Instance,
     ctx = se_htb.mean(axis=1)                                      # [h, B]
     statp = static_t4.astype(cdt).reshape(4, T, B)
     statm = static.astype(cdt).mean(axis=1).T
-    fits = AS.fits_planes(instances, cfg)
     params = AS.head_operands(actor_params, cfg, dtype)
 
     flags = jnp.swapaxes(record.flags.astype(jnp.int32), 1, 2)     # [S, N, B]
     hms = record.heightmap.transpose(0, 2, 3, 4, 1).reshape(
         N, C * W, D, B)                                            # batch-last
+    # the RECORDED mask, batch-last — bit-exact rollout output, valid for
+    # every config (finite-height masks cannot be rebuilt from flags); in
+    # the kernel-rollout train step this transpose cancels against the
+    # record's own (same jit)
+    masks = jnp.swapaxes(record.mask, 1, 2).astype(jnp.int32)      # [S, A, B]
     prev = jnp.concatenate([jnp.full((1, B), -1, jnp.int32),
                             record.action[:-1]], axis=0)           # [S, B]
     statics = (cfg, float(temperature), jnp.dtype(dtype).name,
-               bool(interpret))
-    return replay_logp_fused(statics, (params, se, ctx),
-                             (flags, hms, record.action, prev, statp,
-                              statm, fits))
+               bool(interpret), logp0 is not None)
+    return replay_logp_fused(
+        statics, (params, se, ctx),
+        (flags, hms, masks, record.action, prev, statp, statm,
+         jnp.zeros((B,), jnp.float32) if logp0 is None
+         else jax.lax.stop_gradient(logp0)))
 
 
 def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
                     cfg: TAPConfig, hidden: int = 128,
                     temperature: float = 1.0, dtype=jnp.float32,
                     chunk: int = 0, windowed: bool = None,
-                    kernel=None, interpret: bool = False):
+                    kernel=None, interpret: bool = False, logp0=None):
     """Differentiable sum_t log pi(a_t | s_t) recomputed in parallel.
 
     All N decode steps of all B instances batch into MXU-shaped forwards:
@@ -597,7 +602,8 @@ def replay_logp_sum(actor_params, instances: Instance, record: RolloutRecord,
             kernel = True
     if kernel:
         return _replay_logp_kernel(actor_params, instances, record, cfg,
-                                   hidden, temperature, dtype, interpret)
+                                   hidden, temperature, dtype, interpret,
+                                   logp0=logp0)
     if windowed is None:
         windowed = 0 < cfg.window < cfg.num_blocks and cfg.target_height == 0
     if windowed:

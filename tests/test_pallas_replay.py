@@ -18,7 +18,10 @@ from tapnet_tpu.env.sampler import sample_batch
 from tapnet_tpu.models.tapnet import init_params
 from tapnet_tpu.train import rollout as RO
 
-ELIGIBLE = ["2d-basic", "2d-rot", "3d-basic", "multi-container"]
+ELIGIBLE = ["2d-basic", "2d-rot", "3d-basic", "multi-container",
+            # finite-height joined in round 5: the mask rides in as
+            # RECORDED data instead of a flag rebuild
+            "multi-container-capped"]
 # round 5: rolling rides the STEP-GRID replay schedule (one decode step per
 # grid cell) — driver config under -m slow, small config for fast coverage
 WINDOWED = ["2d-rolling"]
@@ -81,6 +84,43 @@ def test_value_and_grad_parity_small_rolling():
     """Fast step-grid coverage: windowed replay kernel on a 12-block
     rotation config."""
     _assert_value_grad_parity(SMALL_ROLLING)
+
+
+def test_primal_mode_skips_forward_but_keeps_gradients():
+    """logp0 (use_primal): the custom-VJP returns the caller's primal
+    verbatim — the fused rollout kernel's own logp in training — while the
+    gradients stay BIT-IDENTICAL to the full fwd+bwd path, because the
+    hand-derived backward kernel is self-contained (it re-runs the head
+    itself and never reads the primal)."""
+    with jax.default_matmul_precision("highest"):
+        cfg, params, instances, record, hidden = _setup("2d-basic")
+        B = record.action.shape[1]
+        logp0 = jnp.linspace(-3.0, -1.0, B)
+
+        def lp(p, l0):
+            return RO.replay_logp_sum(p, instances, record, cfg,
+                                      hidden=hidden, kernel=True,
+                                      interpret=True, logp0=l0)
+
+        v1, g1 = jax.value_and_grad(lambda p: lp(p, None).sum())(params)
+        v0, g0 = jax.value_and_grad(lambda p: lp(p, logp0).sum())(params)
+    np.testing.assert_allclose(float(v0), float(np.asarray(logp0).sum()),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the rollout-kernel logp it receives in training matches the
+    # replay-kernel value to tier-2 tolerance (same keys => same actions
+    # under highest precision => same record)
+    with jax.default_matmul_precision("highest"):
+        keys = jax.random.split(jax.random.key(3 + 4), B)
+        _, _, lp_roll = RO.rollout_batch_record(
+            params, instances, keys, cfg, hidden=hidden, actor_kernel=True,
+            interpret=True, with_logp=True)
+        lp_replay = RO.replay_logp_sum(params, instances, record, cfg,
+                                       hidden=hidden, kernel=True,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(lp_roll), np.asarray(lp_replay),
+                               rtol=1e-4, atol=1e-3)
 
 
 def test_steps_schedule_matches_monolithic():
