@@ -233,16 +233,18 @@ def main():
     from tapnet_tpu.train.rollout import replay_logp_sum
     report["replay_kernel"] = {}
     for name, cfg in CONFIGS.items():
-        if not AS.eligible(cfg) or B % 128:
+        if B % 128:
             continue
+        # round 5: the replay kernel covers EVERY config (recorded-mask
+        # operand) — the record comes from whichever rollout path the
+        # config auto-selects (actor kernel, or select_step for capped)
         key = jax.random.key(71)
         params = init_params(key, cfg, hidden=64)["actor"]
         batch = sample_batch(key, B, cfg)
         keys = jax.random.split(key, B)
         _, rec, _ = jax.jit(
             lambda p, i, k, cfg=cfg: rollout_batch_record(
-                p, i, k, cfg, 64, actor_kernel=True, with_logp=False))(
-            params, batch, keys)
+                p, i, k, cfg, 64, with_logp=False))(params, batch, keys)
         rec = jax.lax.stop_gradient(rec)
 
         def lp(p, kernel, cfg=cfg, rec=rec, batch=batch):
